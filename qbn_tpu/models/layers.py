@@ -1,0 +1,668 @@
+"""Quantisation-aware stochastic layer library (flax.linen, NHWC).
+
+One layer implementation serves every (method x precision) cell of the
+reference's grid. Instead of the reference's PyTorch module swapping
+(float module -> QAT module -> quantised module,
+reference: src/quant_utils.py:39-60), each block here implements four
+*call-time* modes over one variable tree:
+
+  mode='float'    float32 forward (reference float modules).
+  mode='qat'      fake-quantised forward with observer state in the 'quant'
+                  collection (reference *_qat modules).
+  mode='convert'  qat-eval forward that additionally writes the integer
+                  constants ('qconst' collection): int8 weight/std codes,
+                  scales, zero points, folded BN (reference convert() +
+                  from_float()).
+  mode='int'      integer inference over QTensor activation codes
+                  (reference *_q modules on FBGEMM, here int8 MXU dots).
+
+Observer state lives in 'quant' (like BN stats live in 'batch_stats'), so
+quantisation is a functional transform over pytrees — vmap/pjit-compatible.
+
+Stochastic (Bayes-by-backprop) blocks follow the reference semantics:
+training uses the local reparametrisation trick (per-activation noise);
+evaluation samples one weight per forward shared across the batch
+(reference: bbb/linear.py:30-52). KL divergences are sow'n into the
+'kl' collection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from qbn_tpu.ops.stochastic import (
+    kl_divergence, local_reparam_dense, local_reparam_conv, sample_weights,
+    softplus,
+)
+from qbn_tpu.ops.integer import int_dense, int_conv
+from qbn_tpu.quant.bounds import (
+    UINT_BOUNDS, INT_BOUNDS, NOISE_SCALE, NOISE_ZERO_POINT,
+)
+from qbn_tpu.quant.observer import obs_init, obs_update, calculate_qparams
+from qbn_tpu.quant.fake_quant import (
+    fake_quantize, quantize, dequantize, quantized_add, quantized_mul,
+)
+
+MODES = ("float", "qat", "convert", "int")
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """Static quantisation configuration (hashable: safe as a linen field)."""
+    enabled: bool = False
+    a_bits: int = 7
+    w_bits: int = 8
+
+    @property
+    def a_bounds(self) -> Tuple[int, int]:
+        return UINT_BOUNDS[self.a_bits]
+
+    @property
+    def w_bounds(self) -> Tuple[int, int]:
+        return INT_BOUNDS[self.w_bits]
+
+
+@flax.struct.dataclass
+class QTensor:
+    """Quantised activation: integer codes + per-tensor affine qparams."""
+    codes: jax.Array   # int32, uint8-range codes
+    scale: jax.Array   # f32 scalar
+    zp: jax.Array      # int32 scalar
+
+
+def _torch_linear_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear/Conv2d default init: U(-1/sqrt(fan_in), +)."""
+    fan_in = shape[0] if len(shape) == 2 else shape[0] * shape[1] * shape[2]
+    bound = 1.0 / jnp.sqrt(jnp.asarray(fan_in, jnp.float32))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _bbb_weight_init(key, shape, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, -0.01, 0.01)
+
+
+def _torch_bias_init(fan_in: int):
+    """torch default bias init: U(-1/sqrt(fan_in of the weight), +)."""
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / float(fan_in) ** 0.5
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class QuantOps:
+    """Mixin: observer-backed fake-quant helpers for linen modules.
+
+    (No dataclass fields here — subclasses declare their own `quant`.)
+    """
+
+    def _obs(self, name: str):
+        return self.variable("quant", name, obs_init)
+
+    def _fq(self, name: str, x, bounds, update: bool):
+        """Observe x (optionally) and fake-quantise it with the observer's
+        current qparams (torch FakeQuantize-with-observer semantics)."""
+        v = self._obs(name)
+        if update and not self.is_initializing():
+            v.value = obs_update(v.value, x)
+        scale, zp = calculate_qparams(
+            v.value["min_val"], v.value["max_val"], bounds[0], bounds[1])
+        return fake_quantize(x, scale, zp, bounds[0], bounds[1])
+
+    def _qparams(self, name: str, bounds):
+        # Read-only access (the observer was declared earlier in this call
+        # by _fq; self.variable would raise NameInUse on re-declaration).
+        state = self.get_variable("quant", name, None)
+        if state is None:
+            state = obs_init()
+        return calculate_qparams(
+            state["min_val"], state["max_val"], bounds[0], bounds[1])
+
+
+def _qc_placeholder(shapes):
+    """Zero-filled qconst placeholder with the right tree structure."""
+    out = {}
+    for k, v in shapes.items():
+        if v == "scalar_f":
+            out[k] = jnp.ones((), jnp.float32)
+        elif v == "scalar_i":
+            out[k] = jnp.zeros((), jnp.int32)
+        else:
+            out[k] = jnp.zeros(v, jnp.int8)
+    return out
+
+
+class DenseBlock(nn.Module, QuantOps):
+    """Dense layer + optional fused ReLU, pointwise or Bayes-by-backprop.
+
+    Covers the reference's nn.Linear / bbb.Linear / (QAT)Linear(ReLU) /
+    QuantizedLinear(ReLU) family in one module
+    (reference: src/models/stochastic/bbb/linear.py, quantized/linear_qat.py,
+    quantized/linear_q.py).
+    """
+    features: int
+    use_bias: bool = True
+    stochastic: bool = False
+    relu: bool = False
+    sigma_prior: float = 1.0
+    std_init: float = -3.0
+    quant: QuantConfig = QuantConfig()
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, mode: str = "float",
+                 update_stats: bool = False):
+        assert mode in MODES
+        q = self.quant
+        in_features = (x.codes.shape[-1] if isinstance(x, QTensor)
+                       else x.shape[-1])
+        w_init = _bbb_weight_init if self.stochastic else _torch_linear_init
+        kernel = self.param("kernel", w_init, (in_features, self.features))
+        std = (self.param("std", nn.initializers.constant(self.std_init),
+                          (in_features, self.features))
+               if self.stochastic else None)
+        b_init = (_bbb_weight_init if self.stochastic
+                  else _torch_bias_init(in_features))
+        bias = (self.param("bias", b_init, (self.features,))
+                if self.use_bias else None)
+
+        if self.stochastic:
+            # KL against the zero-mean sigma_prior Gaussian prior.
+            self.sow("kl", "kl",
+                     kl_divergence(kernel, softplus(std),
+                                   jnp.zeros_like(kernel),
+                                   jnp.full_like(std, self.sigma_prior)),
+                     reduce_fn=lambda a, b: b)
+
+        qc = None
+        if q.enabled:
+            qc = self.variable(
+                "qconst", "q",
+                lambda: _qc_placeholder({
+                    "w_codes": kernel.shape, "std_codes": kernel.shape,
+                    "w_scale": "scalar_f", "w_zp": "scalar_i",
+                    "std_scale": "scalar_f", "std_zp": "scalar_i",
+                    "mul_scale": "scalar_f", "mul_zp": "scalar_i",
+                    "add_scale": "scalar_f", "add_zp": "scalar_i",
+                    "act_scale": "scalar_f", "act_zp": "scalar_i",
+                }))
+
+        if mode == "int":
+            return self._int_forward(x, qc.value, bias)
+
+        if mode == "float":
+            y = self._float_forward(x, kernel, std, bias, train)
+        else:  # qat / convert
+            y = self._qat_forward(x, kernel, std, bias, train, update_stats)
+            if self.relu:
+                y = jax.nn.relu(y)
+            y = self._fq("act", y, q.a_bounds, update_stats)
+            if mode == "convert":
+                self._write_qconst(qc, kernel, std, bias)
+            return y
+
+        if self.relu:
+            y = jax.nn.relu(y)
+        return y
+
+    # -- float -------------------------------------------------------------
+    def _float_forward(self, x, kernel, std, bias, train):
+        if not self.stochastic:
+            y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+            return y + bias if bias is not None else y
+        if train:
+            return local_reparam_dense(x, kernel, softplus(std),
+                                       self.make_rng("noise"), bias)
+        w = sample_weights(kernel, softplus(std), self.make_rng("noise"))
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        return y + bias if bias is not None else y
+
+    # -- qat ---------------------------------------------------------------
+    def _qat_forward(self, x, kernel, std, bias, train, update):
+        wb = self.quant.w_bounds
+        w_fq = self._fq("weight", kernel, wb, update)
+        if not self.stochastic:
+            y = jnp.dot(x, w_fq, preferred_element_type=jnp.float32)
+            return y + bias if bias is not None else y
+        std_fq = self._fq("std_w", softplus(std), wb, update)
+        if train:
+            return local_reparam_dense(x, w_fq, std_fq,
+                                       self.make_rng("noise"), bias)
+        # eval: weight-space sampling with observed mul/add (FloatFunctional
+        # observer pattern, reference: linear_qat.py:31-37)
+        noise = jax.random.normal(self.make_rng("noise"), kernel.shape,
+                                  jnp.float32)
+        prod = self._fq("mul_noise", noise * std_fq, wb, update)
+        w_s = self._fq("add_weight", w_fq + prod, wb, update)
+        y = jnp.dot(x, w_s, preferred_element_type=jnp.float32)
+        return y + bias if bias is not None else y
+
+    # -- convert -----------------------------------------------------------
+    def _write_qconst(self, qc, kernel, std, bias):
+        if self.is_initializing():
+            return
+        wb, ab = self.quant.w_bounds, self.quant.a_bounds
+        ws, wz = self._qparams("weight", wb)
+        entry = dict(qc.value)
+        entry["w_codes"] = quantize(kernel, ws, wz, wb[0], wb[1])
+        entry["w_scale"], entry["w_zp"] = ws, wz
+        if self.stochastic:
+            ss, sz = self._qparams("std_w", wb)
+            entry["std_codes"] = quantize(softplus(std), ss, sz, wb[0], wb[1])
+            entry["std_scale"], entry["std_zp"] = ss, sz
+            ms, mz = self._qparams("mul_noise", wb)
+            entry["mul_scale"], entry["mul_zp"] = ms, mz
+            as_, az = self._qparams("add_weight", wb)
+            entry["add_scale"], entry["add_zp"] = as_, az
+        acts, actz = self._qparams("act", ab)
+        entry["act_scale"], entry["act_zp"] = acts, actz
+        qc.value = entry
+
+    # -- int ---------------------------------------------------------------
+    def _int_forward(self, x: QTensor, qc, bias):
+        q = self.quant
+        wb, ab = q.w_bounds, q.a_bounds
+        w_codes = qc["w_codes"].astype(jnp.int32)
+        w_scale, w_zp = qc["w_scale"], qc["w_zp"]
+        if self.stochastic:
+            # fp32 noise quantised at the fixed 3/127 scale, multiplied and
+            # added in the integer domain (reference: linear_q.py:82-94).
+            noise = jax.random.normal(self.make_rng("noise"),
+                                      w_codes.shape, jnp.float32)
+            eps_q = quantize(noise, NOISE_SCALE, NOISE_ZERO_POINT,
+                             -128, 127, dtype=jnp.int32)
+            prod = quantized_mul(
+                qc["std_codes"].astype(jnp.int32), qc["std_scale"],
+                qc["std_zp"], eps_q, NOISE_SCALE, NOISE_ZERO_POINT,
+                qc["mul_scale"], qc["mul_zp"], -128, 127, dtype=jnp.int32)
+            w_codes = quantized_add(
+                w_codes, w_scale, w_zp, prod, qc["mul_scale"], qc["mul_zp"],
+                qc["add_scale"], qc["add_zp"], -128, 127, dtype=jnp.int32)
+            w_codes = jnp.clip(w_codes, wb[0], wb[1])  # clamp_weight
+            w_scale, w_zp = qc["add_scale"], qc["add_zp"]
+        codes = int_dense(
+            x.codes, x.scale, x.zp, w_codes, w_scale, w_zp, bias,
+            qc["act_scale"], qc["act_zp"], ab[0], ab[1], relu=self.relu)
+        return QTensor(codes, qc["act_scale"], qc["act_zp"])
+
+
+class ConvBlock(nn.Module, QuantOps):
+    """Conv (+ optional BN fold + fused ReLU), pointwise or BBB.
+
+    Covers the reference's conv / conv+BN / conv+BN+ReLU fusion cells in all
+    precision modes (reference: src/models/stochastic/bbb/conv.py,
+    quantized/conv_qat.py:26-49,139-167, quantized/conv_q.py). The QAT BN
+    path reproduces the folding dance: weight and std are scaled by
+    gamma/running_std before fake-quant, the conv output is un-scaled and
+    then real BN is applied (reference: conv_qat.py:139-167). Conversion
+    folds BN fully into the integer weights (reference: conv.py:70-80).
+    """
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: int = 0
+    use_bias: bool = False
+    stochastic: bool = False
+    bn: bool = False
+    relu: bool = False
+    sigma_prior: float = 1.0
+    std_init: float = -10.0
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.1
+    quant: QuantConfig = QuantConfig()
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, mode: str = "float",
+                 update_stats: bool = False):
+        assert mode in MODES
+        q = self.quant
+        cin = x.codes.shape[-1] if isinstance(x, QTensor) else x.shape[-1]
+        kshape = (*self.kernel_size, cin, self.features)
+        w_init = _bbb_weight_init if self.stochastic else _torch_linear_init
+        kernel = self.param("kernel", w_init, kshape)
+        std = (self.param("std", nn.initializers.constant(self.std_init),
+                          kshape) if self.stochastic else None)
+        b_init = (_bbb_weight_init if self.stochastic
+                  else _torch_bias_init(kshape[0] * kshape[1] * kshape[2]))
+        bias = (self.param("bias", b_init, (self.features,))
+                if self.use_bias else None)
+
+        bn_scale = bn_bias = bn_mean = bn_var = None
+        if self.bn:
+            bn_scale = self.param("bn_scale", nn.initializers.ones,
+                                  (self.features,))
+            bn_bias = self.param("bn_bias", nn.initializers.zeros,
+                                 (self.features,))
+            bn_mean = self.variable("batch_stats", "mean",
+                                    lambda: jnp.zeros((self.features,)))
+            bn_var = self.variable("batch_stats", "var",
+                                   lambda: jnp.ones((self.features,)))
+
+        if self.stochastic:
+            self.sow("kl", "kl",
+                     kl_divergence(kernel, softplus(std),
+                                   jnp.zeros_like(kernel),
+                                   jnp.full_like(std, self.sigma_prior)),
+                     reduce_fn=lambda a, b: b)
+
+        qc = None
+        if q.enabled:
+            qc = self.variable(
+                "qconst", "q",
+                lambda: _qc_placeholder({
+                    "w_codes": kshape, "std_codes": kshape,
+                    "w_scale": "scalar_f", "w_zp": "scalar_i",
+                    "std_scale": "scalar_f", "std_zp": "scalar_i",
+                    "mul_scale": "scalar_f", "mul_zp": "scalar_i",
+                    "add_scale": "scalar_f", "add_zp": "scalar_i",
+                    "act_scale": "scalar_f", "act_zp": "scalar_i",
+                }) | {"bias_f": jnp.zeros((self.features,), jnp.float32)})
+
+        if mode == "int":
+            return self._int_forward(x, qc.value)
+
+        if mode == "float":
+            y = self._conv_forward(x, kernel, std, bias, train,
+                                   fake_q=False, update=False)
+            if self.bn:
+                y = self._batch_norm(y, bn_scale, bn_bias, bn_mean, bn_var,
+                                     train, update_stats)
+            if self.relu:
+                y = jax.nn.relu(y)
+            return y
+
+        # qat / convert
+        if self.bn:
+            # BN-folding QAT dance (reference: conv_qat.py:139-167):
+            # fake-quant W*sf and softplus(std)*sf, conv, un-scale, real BN.
+            running_std = jnp.sqrt(bn_var.value + self.bn_eps)
+            sf = bn_scale / running_std
+            y = self._conv_forward(x, kernel * sf, std, None, train,
+                                   fake_q=True, update=update_stats,
+                                   std_scale_factor=sf)
+            y = y / sf
+            if bias is not None:
+                y = y + bias
+            y = self._batch_norm(y, bn_scale, bn_bias, bn_mean, bn_var,
+                                 train, update_stats)
+        else:
+            y = self._conv_forward(x, kernel, std, bias, train,
+                                   fake_q=True, update=update_stats)
+        if self.relu:
+            y = jax.nn.relu(y)
+        y = self._fq("act", y, q.a_bounds, update_stats)
+        if mode == "convert":
+            self._write_qconst(qc, kernel, std, bias,
+                               bn_scale, bn_bias, bn_mean, bn_var)
+        return y
+
+    # -- shared conv core ----------------------------------------------------
+    def _conv(self, x, w):
+        return lax.conv_general_dilated(
+            x, w, self.strides,
+            [(self.padding, self.padding)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def _conv_forward(self, x, w_eff, raw_std, bias, train, fake_q, update,
+                      std_scale_factor=None):
+        """Float or fake-quant conv forward (train: local reparam for BBB;
+        eval: weight-space sampling). `w_eff` is the (possibly BN-scaled)
+        kernel; `raw_std` the pre-softplus posterior std or None."""
+        wb = self.quant.w_bounds
+        w = self._fq("weight", w_eff, wb, update) if fake_q else w_eff
+        if not self.stochastic:
+            y = self._conv(x, w)
+            return y + bias if bias is not None else y
+        sp = softplus(raw_std)
+        if std_scale_factor is not None:
+            sp = sp * std_scale_factor
+        sp = self._fq("std_w", sp, wb, update) if fake_q else sp
+        if train:
+            return local_reparam_conv(
+                x, w, sp, self.make_rng("noise"), self.strides,
+                [(self.padding, self.padding)] * 2, bias)
+        noise = jax.random.normal(self.make_rng("noise"), w.shape,
+                                  jnp.float32)
+        if fake_q:
+            prod = self._fq("mul_noise", noise * sp, wb, update)
+            w_s = self._fq("add_weight", w + prod, wb, update)
+        else:
+            w_s = w + sp * noise
+        y = self._conv(x, w_s)
+        return y + bias if bias is not None else y
+
+    # -- batch norm ----------------------------------------------------------
+    def _batch_norm(self, y, scale, bias, mean_v, var_v, train, update):
+        if train:
+            m = jnp.mean(y, axis=(0, 1, 2))
+            v = jnp.var(y, axis=(0, 1, 2))
+            if update and not self.is_initializing():
+                n = y.shape[0] * y.shape[1] * y.shape[2]
+                unbiased = v * n / max(n - 1, 1)
+                mom = self.bn_momentum
+                mean_v.value = (1 - mom) * mean_v.value + mom * m
+                var_v.value = (1 - mom) * var_v.value + mom * unbiased
+        else:
+            m, v = mean_v.value, var_v.value
+        y = (y - m) * lax.rsqrt(v + self.bn_eps)
+        return y * scale + bias
+
+    # -- convert ---------------------------------------------------------------
+    def _write_qconst(self, qc, kernel, std, bias,
+                      bn_scale, bn_bias, bn_mean, bn_var):
+        if self.is_initializing():
+            return
+        from qbn_tpu.quant.bn_fold import fuse_conv_bn_weights
+        wb, ab = self.quant.w_bounds, self.quant.a_bounds
+        sp = softplus(std) if std is not None else None
+        w, b = kernel, bias
+        if self.bn:
+            w, b, folded_std = fuse_conv_bn_weights(
+                kernel, bias, std, bn_mean.value, bn_var.value, self.bn_eps,
+                bn_scale, bn_bias)
+            sp = softplus(folded_std) if folded_std is not None else None
+        entry = dict(qc.value)
+        ws, wz = self._qparams("weight", wb)
+        entry["w_codes"] = quantize(w, ws, wz, wb[0], wb[1])
+        entry["w_scale"], entry["w_zp"] = ws, wz
+        if self.stochastic:
+            ss, sz = self._qparams("std_w", wb)
+            entry["std_codes"] = quantize(sp, ss, sz, wb[0], wb[1])
+            entry["std_scale"], entry["std_zp"] = ss, sz
+            ms, mz = self._qparams("mul_noise", wb)
+            entry["mul_scale"], entry["mul_zp"] = ms, mz
+            as_, az = self._qparams("add_weight", wb)
+            entry["add_scale"], entry["add_zp"] = as_, az
+        acts, actz = self._qparams("act", ab)
+        entry["act_scale"], entry["act_zp"] = acts, actz
+        entry["bias_f"] = (b if b is not None
+                           else jnp.zeros((self.features,), jnp.float32))
+        qc.value = entry
+
+    # -- int ---------------------------------------------------------------
+    def _int_forward(self, x: QTensor, qc):
+        q = self.quant
+        wb, ab = q.w_bounds, q.a_bounds
+        w_codes = qc["w_codes"].astype(jnp.int32)
+        w_scale, w_zp = qc["w_scale"], qc["w_zp"]
+        if self.stochastic:
+            noise = jax.random.normal(self.make_rng("noise"),
+                                      w_codes.shape, jnp.float32)
+            eps_q = quantize(noise, NOISE_SCALE, NOISE_ZERO_POINT,
+                             -128, 127, dtype=jnp.int32)
+            prod = quantized_mul(
+                qc["std_codes"].astype(jnp.int32), qc["std_scale"],
+                qc["std_zp"], eps_q, NOISE_SCALE, NOISE_ZERO_POINT,
+                qc["mul_scale"], qc["mul_zp"], -128, 127, dtype=jnp.int32)
+            w_codes = quantized_add(
+                w_codes, w_scale, w_zp, prod, qc["mul_scale"], qc["mul_zp"],
+                qc["add_scale"], qc["add_zp"], -128, 127, dtype=jnp.int32)
+            w_codes = jnp.clip(w_codes, wb[0], wb[1])
+            w_scale, w_zp = qc["add_scale"], qc["add_zp"]
+        codes = int_conv(
+            x.codes, x.scale, x.zp, w_codes, w_scale, w_zp, qc["bias_f"],
+            qc["act_scale"], qc["act_zp"], self.strides,
+            [(self.padding, self.padding)] * 2, ab[0], ab[1], relu=self.relu)
+        return QTensor(codes, qc["act_scale"], qc["act_zp"])
+
+
+class BernoulliDropout(nn.Module, QuantOps):
+    """Always-on Bernoulli dropout with per-(sample, channel) conv masks.
+
+    Mirrors the reference BernoulliDropout: active in train AND eval (that is
+    the MC-Dropout posterior), with 4-D inputs masked per (batch, channel)
+    broadcast over space, and the masked multiply routed through an observed
+    quantised multiply in qat/int modes
+    (reference: src/models/stochastic/mcdropout/dropout.py:15-40).
+    """
+    p: float = 0.0
+    quant: QuantConfig = QuantConfig()
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, mode: str = "float",
+                 update_stats: bool = False):
+        if self.p <= 0.0:
+            return x
+        multiplier = 1.0 / (1.0 - self.p)
+        is_q = isinstance(x, QTensor)
+        shape = x.codes.shape if is_q else x.shape
+        if len(shape) > 2:
+            mask_shape = (shape[0], 1, 1, shape[-1])  # per-(sample, channel)
+        else:
+            mask_shape = shape
+        mask = jax.random.bernoulli(
+            self.make_rng("dropout"), 1.0 - self.p, mask_shape
+        ).astype(jnp.float32)
+
+        if mode in ("qat", "convert"):
+            y = self._fq("mul_mask", x * mask, self.quant.a_bounds,
+                         update_stats)
+            if mode == "convert":
+                qc = self.variable("qconst", "q", lambda: _qc_placeholder(
+                    {"mul_scale": "scalar_f", "mul_zp": "scalar_i"}))
+                if not self.is_initializing():
+                    ms, mz = self._qparams("mul_mask", self.quant.a_bounds)
+                    qc.value = {"mul_scale": ms, "mul_zp": mz}
+            return y * multiplier
+        if mode == "int":
+            qc = self.variable("qconst", "q", lambda: _qc_placeholder(
+                {"mul_scale": "scalar_f", "mul_zp": "scalar_i"}))
+            ms, mz = qc.value["mul_scale"], qc.value["mul_zp"]
+            ab = self.quant.a_bounds
+            mask_q = quantize(mask, ms, mz, 0, 255, dtype=jnp.int32)
+            codes = quantized_mul(x.codes, x.scale, x.zp, mask_q, ms, mz,
+                                  ms, mz, 0, 255, dtype=jnp.int32)
+            codes = jnp.clip(codes, ab[0], ab[1])
+            # mul_scalar: output scale = scale * multiplier, codes unchanged
+            return QTensor(codes, ms * multiplier, mz)
+        # observer variable must exist in float mode too for tree parity
+        if self.quant.enabled:
+            self._obs("mul_mask")
+        return x * mask * multiplier
+
+
+class ResidualAdd(nn.Module, QuantOps):
+    """Quant-safe residual add (reference: src/utils.py:49-55 Add module)."""
+    quant: QuantConfig = QuantConfig()
+
+    @nn.compact
+    def __call__(self, a, b, *, mode: str = "float",
+                 update_stats: bool = False):
+        if mode == "float":
+            if self.quant.enabled:
+                self._obs("add_act")
+            return a + b
+        if mode in ("qat", "convert"):
+            y = self._fq("add_act", a + b, self.quant.a_bounds, update_stats)
+            if mode == "convert":
+                qc = self.variable("qconst", "q", lambda: _qc_placeholder(
+                    {"scale": "scalar_f", "zp": "scalar_i"}))
+                if not self.is_initializing():
+                    s, z = self._qparams("add_act", self.quant.a_bounds)
+                    qc.value = {"scale": s, "zp": z}
+            return y
+        # int
+        qc = self.variable("qconst", "q", lambda: _qc_placeholder(
+            {"scale": "scalar_f", "zp": "scalar_i"}))
+        s, z = qc.value["scale"], qc.value["zp"]
+        ab = self.quant.a_bounds
+        codes = quantized_add(a.codes, a.scale, a.zp, b.codes, b.scale, b.zp,
+                              s, z, 0, 255, dtype=jnp.int32)
+        return QTensor(jnp.clip(codes, ab[0], ab[1]), s, z)
+
+
+class InputQuant(nn.Module, QuantOps):
+    """QuantStub equivalent: input activation observer / quantiser."""
+    quant: QuantConfig = QuantConfig()
+
+    @nn.compact
+    def __call__(self, x, *, mode: str = "float", update_stats: bool = False):
+        if not self.quant.enabled or mode == "float":
+            if self.quant.enabled:
+                self._obs("act")
+            return x
+        if mode in ("qat", "convert"):
+            y = self._fq("act", x, self.quant.a_bounds, update_stats)
+            if mode == "convert":
+                qc = self.variable("qconst", "q", lambda: _qc_placeholder(
+                    {"scale": "scalar_f", "zp": "scalar_i"}))
+                if not self.is_initializing():
+                    s, z = self._qparams("act", self.quant.a_bounds)
+                    qc.value = {"scale": s, "zp": z}
+            return y
+        qc = self.variable("qconst", "q", lambda: _qc_placeholder(
+            {"scale": "scalar_f", "zp": "scalar_i"}))
+        s, z = qc.value["scale"], qc.value["zp"]
+        ab = self.quant.a_bounds
+        codes = quantize(x, s, z, ab[0], ab[1], dtype=jnp.int32)
+        return QTensor(codes, s, z)
+
+
+def dequant(x):
+    """DeQuantStub equivalent: QTensor codes back to float32."""
+    if isinstance(x, QTensor):
+        return dequantize(x.codes, x.scale, x.zp)
+    return x
+
+
+def max_pool(x, window: int = 2, stride: int = 2):
+    """Max pool, mode-polymorphic: integer codes pool by max directly."""
+    if isinstance(x, QTensor):
+        codes = lax.reduce_window(
+            x.codes, -(2 ** 31), lax.max,
+            (1, window, window, 1), (1, stride, stride, 1), "VALID")
+        return QTensor(codes, x.scale, x.zp)
+    return nn.max_pool(x, (window, window), (stride, stride), "VALID")
+
+
+def avg_pool(x, window: int):
+    """Average pool; integer codes average with round-to-nearest-even
+    (FBGEMM quantised avg-pool keeps scale/zp and rounds)."""
+    if isinstance(x, QTensor):
+        summed = lax.reduce_window(
+            x.codes, 0, lax.add,
+            (1, window, window, 1), (1, window, window, 1), "VALID")
+        codes = jnp.round(summed.astype(jnp.float32)
+                          / (window * window)).astype(jnp.int32)
+        return QTensor(codes, x.scale, x.zp)
+    return nn.avg_pool(x, (window, window), (window, window), "VALID")
+
+
+def flatten(x):
+    if isinstance(x, QTensor):
+        return QTensor(x.codes.reshape(x.codes.shape[0], -1), x.scale, x.zp)
+    return x.reshape(x.shape[0], -1)
+
+
+def relu(x):
+    """Standalone ReLU (e.g. after a residual add): on integer codes this is
+    max(code, zero_point), with no new observer — matching the converted
+    reference nets where a bare ReLU acts on the quantised tensor."""
+    if isinstance(x, QTensor):
+        return QTensor(jnp.maximum(x.codes, x.zp), x.scale, x.zp)
+    return jax.nn.relu(x)

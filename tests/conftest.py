@@ -1,17 +1,24 @@
-"""Test session setup: force an 8-device virtual CPU mesh before jax import.
+"""Test session setup: force an 8-device virtual CPU mesh.
 
-The ambient environment pins JAX_PLATFORMS=axon (an exclusive single-TPU
-tunnel); tests MUST override it — a test run holding the tunnel blocks every
-other JAX process on the machine. Multi-chip sharding is validated here on
-host-platform virtual devices; real-TPU behaviour is exercised by bench.py /
-__graft_entry__.py under the driver.
+The container's sitecustomize imports jax at interpreter startup and points
+it at 'axon' — an exclusive single-TPU tunnel (two concurrent processes
+deadlock on it). Setting JAX_PLATFORMS in the environment is therefore too
+late; we must retarget via jax.config BEFORE any backend is initialised.
+Multi-chip sharding is validated here on 8 virtual host devices; real-TPU
+behaviour is exercised by bench.py / __graft_entry__.py under the driver.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# XLA_FLAGS is read when the CPU client is created (later), so this works
+# even though jax itself was already imported by sitecustomize.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402  (already imported by sitecustomize anyway)
+
+jax.config.update("jax_platforms", "cpu")
