@@ -1,0 +1,75 @@
+"""Distortion-shifted test sets: rotation / horizontal shift / brightness.
+
+The reference builds 3 distortions x 5 severity levels of the test set to
+measure uncertainty under covariate shift (reference: src/data.py:199-232,
+level tables src/utils.py:21-23). Distortions operate on pre-normalisation
+images in [0, 1], NHWC, with nearest-neighbour resampling for the affine
+ops (the reference's resample=0) and zero fill.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Severity tables (reference: src/utils.py:21-23). Each brightness/rotation
+# level is a degenerate (lo, hi) range == a fixed factor/angle.
+BRIGHTNESS_LEVELS = [1.5, 2.0, 2.5, 3.0, 3.5]
+ROTATION_LEVELS = [15, 30, 45, 60, 75]
+SHIFT_LEVELS = [0.1, 0.2, 0.3, 0.4, 0.5]
+
+DISTORTIONS = ["rotation", "shift", "brightness"]
+LEVELS = 5
+
+
+def rotate(images: np.ndarray, degrees: float) -> np.ndarray:
+    """Rotate NHWC images by a fixed angle about the image centre with
+    nearest-neighbour sampling and zero fill (torchvision affine
+    conventions: positive angle = counter-clockwise)."""
+    n, h, w, c = images.shape
+    theta = np.deg2rad(degrees)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    # inverse map: output pixel -> source pixel (rotate by -theta)
+    cos_t, sin_t = np.cos(theta), np.sin(theta)
+    sx = cos_t * (xx - cx) + sin_t * (yy - cy) + cx
+    sy = -sin_t * (xx - cx) + cos_t * (yy - cy) + cy
+    sxi = np.round(sx).astype(np.int64)
+    syi = np.round(sy).astype(np.int64)
+    valid = (sxi >= 0) & (sxi < w) & (syi >= 0) & (syi < h)
+    sxi = np.clip(sxi, 0, w - 1)
+    syi = np.clip(syi, 0, h - 1)
+    out = images[:, syi, sxi, :]
+    out[:, ~valid, :] = 0.0
+    return out
+
+
+def horizontal_shift(images: np.ndarray, distance: float) -> np.ndarray:
+    """Translate right by round(distance * width) pixels, zero fill
+    (reference HorizontalTranslate, src/data.py:105-116)."""
+    n, h, w, c = images.shape
+    tx = int(round(distance * w))
+    out = np.zeros_like(images)
+    if tx < w:
+        out[:, :, tx:, :] = images[:, :, : w - tx, :]
+    return out
+
+
+def brighten(images: np.ndarray, factor: float) -> np.ndarray:
+    """Multiply by a fixed brightness factor, clamped to [0, 1] (PIL
+    ImageEnhance.Brightness on [0,1] pixels)."""
+    return np.clip(images * factor, 0.0, 1.0)
+
+
+def apply_distortion(images: np.ndarray, distortion: str,
+                     level: int) -> np.ndarray:
+    """Apply one named distortion at a severity level in 0..4 to [0,1]
+    NHWC images."""
+    if distortion is None:
+        return images
+    if distortion == "rotation":
+        return rotate(images, ROTATION_LEVELS[level])
+    if distortion == "shift":
+        return horizontal_shift(images, SHIFT_LEVELS[level])
+    if distortion == "brightness":
+        return brighten(images, BRIGHTNESS_LEVELS[level])
+    raise NotImplementedError(f"Unknown distortion '{distortion}'")

@@ -1,0 +1,161 @@
+"""Batch loaders + the reference's train/valid/test loader API.
+
+Replaces torch DataLoader + SubsetRandomSampler (reference:
+src/data.py:138-265) with an in-memory numpy loader: datasets here are at
+most a few hundred MB, so the TPU-friendly design is whole-dataset-in-host-
+memory, per-epoch shuffling, batch-level augmentation, and fixed-size
+batches (a partial tail batch would trigger an extra XLA compilation; we
+drop it for training and keep it for evaluation where exact counts matter).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+from qbn_tpu.data import datasets as D
+from qbn_tpu.data.distortions import apply_distortion
+
+log = logging.getLogger(__name__)
+
+
+def augment_cifar(x: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+    """Random crop (pad 4, reflect zero-pad) + horizontal flip, per batch
+    (reference transform list, src/data.py:148-154)."""
+    n, h, w, c = x.shape
+    pad = np.zeros((n, h + 8, w + 8, c), x.dtype)
+    pad[:, 4:4 + h, 4:4 + w, :] = x
+    out = np.empty_like(x)
+    ys = rng.randint(0, 9, n)
+    xs = rng.randint(0, 9, n)
+    flip = rng.rand(n) < 0.5
+    for i in range(n):
+        img = pad[i, ys[i]:ys[i] + h, xs[i]:xs[i] + w, :]
+        out[i] = img[:, ::-1, :] if flip[i] else img
+    return out
+
+
+class ArrayLoader:
+    """Shuffling mini-batch iterator over in-memory arrays.
+
+    Yields (x, y) numpy batches. Exposes len() (number of batches) and
+    num_examples (dataset size) for the loss scaling terms
+    (reference: trainer.py:140 n_batches/n_points).
+    """
+
+    def __init__(self, x: np.ndarray, y: np.ndarray, batch_size: int,
+                 shuffle: bool = False, seed: int = 0,
+                 augment: Optional[Callable] = None,
+                 normalize: Optional[Callable] = None,
+                 drop_last: Optional[bool] = None):
+        self.x = x
+        self.y = y
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.augment = augment
+        self.normalize = normalize
+        self.rng = np.random.RandomState(seed)
+        self.drop_last = shuffle if drop_last is None else drop_last
+        n = len(x)
+        if self.drop_last and n >= batch_size:
+            self._len = n // batch_size
+        else:
+            self._len = max(1, math.ceil(n / batch_size))
+
+    @property
+    def num_examples(self) -> int:
+        return len(self.x)
+
+    def __len__(self) -> int:
+        return self._len
+
+    def __iter__(self):
+        n = len(self.x)
+        idx = self.rng.permutation(n) if self.shuffle else np.arange(n)
+        for b in range(self._len):
+            sel = idx[b * self.batch_size: (b + 1) * self.batch_size]
+            xb = self.x[sel]
+            if self.augment is not None:
+                xb = self.augment(xb, self.rng)
+            if self.normalize is not None:
+                xb = self.normalize(xb)
+            yield xb, self.y[sel]
+
+
+def _train_valid_split(x, y, valid_portion: float, seed: int):
+    """Random subset split (reference: src/data.py:172-196 — first
+    valid_portion of a random permutation is the validation set)."""
+    n = len(x)
+    idx = np.random.RandomState(seed).permutation(n)
+    n_valid = int(np.floor(valid_portion * n))
+    v_idx, t_idx = idx[:n_valid], idx[n_valid:]
+    return (x[t_idx], y[t_idx]), (x[v_idx], y[v_idx])
+
+
+def get_train_loaders(cfg, split: int = -1
+                      ) -> Tuple[ArrayLoader, Optional[ArrayLoader]]:
+    """Train + validation loaders for cfg.dataset
+    (reference: src/data.py:138-196)."""
+    assert 0 <= cfg.valid_portion < 1.0
+    augment = None
+    normalize = None
+    if cfg.dataset == "mnist":
+        x, y = D.load_images("mnist", cfg.data, train=True)
+    elif cfg.dataset == "cifar":
+        x, y = D.load_images("cifar", cfg.data, train=True)
+        augment = augment_cifar
+        normalize = lambda a: D.normalize(a, "cifar")  # noqa: E731
+    elif "regression" in cfg.dataset:
+        if cfg.dataset == "regression_synthetic":
+            x, y = D.regression_data_generator(n_points=1000, seed=cfg.seed)
+        else:
+            from qbn_tpu.data.uci import UCIDatasets
+            name = cfg.dataset.split("_")[-1]
+            x, y = UCIDatasets(name, cfg.data).get_split(split, train=True)
+    else:
+        raise NotImplementedError("Other datasets not implemented")
+
+    (xt, yt), (xv, yv) = _train_valid_split(x, y, cfg.valid_portion,
+                                            cfg.seed)
+    train = ArrayLoader(xt, yt, cfg.batch_size, shuffle=True, seed=cfg.seed,
+                        augment=augment, normalize=normalize)
+    valid = None
+    if cfg.valid_portion > 0:
+        valid = ArrayLoader(xv, yv, cfg.batch_size, shuffle=False,
+                            normalize=normalize)
+    log.info("train size %d, valid size %d", len(xt), len(xv))
+    return train, valid
+
+
+def get_test_loader(cfg, distortion: Optional[str] = None, level: int = -1,
+                    split: int = -1) -> ArrayLoader:
+    """Test loader, optionally distortion-shifted, plus the OOD sets
+    random_mnist (FashionMNIST) and random_cifar (SVHN)
+    (reference: src/data.py:199-265)."""
+    normalize = None
+    if cfg.dataset in ("mnist", "cifar"):
+        x, y = D.load_images(cfg.dataset, cfg.data, train=False)
+        x = apply_distortion(x, distortion, level)
+        if cfg.dataset == "cifar":
+            normalize = lambda a: D.normalize(a, "cifar")  # noqa: E731
+    elif cfg.dataset == "random_mnist":
+        x, y = D.load_images("fashion_mnist", cfg.data, train=False)
+    elif cfg.dataset == "random_cifar":
+        x, y = D.load_images("svhn", cfg.data, train=False)
+        normalize = lambda a: D.normalize(a, "cifar")  # noqa: E731
+    elif "regression" in cfg.dataset:
+        if cfg.dataset == "regression_synthetic":
+            x, y = D.regression_data_generator(n_points=1000, noise=False,
+                                               seed=cfg.seed + 1)
+        else:
+            from qbn_tpu.data.uci import UCIDatasets
+            name = cfg.dataset.split("_")[-1]
+            x, y = UCIDatasets(name, cfg.data).get_split(split, train=False)
+    else:
+        raise NotImplementedError("Other datasets not implemented")
+    log.info("test size %d", len(x))
+    return ArrayLoader(x, y, cfg.batch_size, shuffle=False,
+                       normalize=normalize)

@@ -1,0 +1,256 @@
+"""Trainer: jitted train/eval steps + host-side epoch loop.
+
+TPU-native re-design of the reference Trainer (reference: src/trainer.py):
+the per-batch work (forward, ELBO loss, backward, NaN-guarded optimiser
+step, metric accumulation) is ONE compiled XLA program; the host loop only
+feeds batches and handles checkpoint policy. Under a device mesh the same
+step runs SPMD with the batch sharded over the 'data' axis (metric states
+are summed contributions, so they shard transparently).
+
+Reference behaviours kept:
+  * skip the optimiser step when the loss is non-finite
+    (trainer.py:103), zero NaN gradients (trainer.py:105-107);
+  * SGHMC adaptive gradient clipping (in the optax chain, optim.py);
+  * cosine LR stepped per epoch;
+  * checkpoint every epoch when save_last, else on best validation key
+    metric; SGHMC epoch-stamped snapshots every 2nd epoch past burn-in
+    within the last samples*2 epochs (trainer.py:72-83);
+  * QAT validation updates quantisation observers but never BN running
+    stats (torch observer semantics).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from qbn_tpu.config import Config
+from qbn_tpu.training import metrics as M
+from qbn_tpu.training.losses import classification_loss, regression_loss
+from qbn_tpu.training.checkpoint import (
+    save_variables, checkpoint_path,
+)
+from qbn_tpu.utils import split_rngs, sum_kl
+
+log = logging.getLogger(__name__)
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    model_state: Any          # batch_stats / quant / qconst collections
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jax.Array
+
+
+def _metrics_init(task: str):
+    return (M.cls_metrics_init() if task == "classification"
+            else M.reg_metrics_init())
+
+
+def _metrics_update(task, state, out, target):
+    if task == "classification":
+        return M.cls_metrics_update(state, out, target)
+    mu, var = out
+    return M.reg_metrics_update(state, mu, var, target)
+
+
+def _metrics_compute(task, state):
+    return (M.cls_metrics_compute(state) if task == "classification"
+            else M.reg_metrics_compute(state))
+
+
+def make_train_step(model, cfg: Config, tx, mode: str, n_batches: int,
+                    n_points: int):
+    """Build the jitted training step."""
+    task = cfg.task
+    loss_fn = (classification_loss if task == "classification"
+               else regression_loss)
+
+    def step(state: TrainState, metric_state, x, y):
+        key = jax.random.fold_in(state.rng, state.step)
+
+        def objective(params):
+            variables = {"params": params, **state.model_state}
+            out, updates = model.apply(
+                variables, x, train=True, mode=mode, update_stats=True,
+                rngs=split_rngs(key), mutable=["batch_stats", "quant", "kl"])
+            kl = sum_kl(updates.pop("kl", {}))
+            loss, main, kl_t = loss_fn(
+                out, y, kl, cfg.gamma, n_batches, n_points,
+                scaling=cfg.loss_scaling,
+                loss_multiplier=cfg.loss_multiplier)
+            return loss, (out, updates, main, kl_t)
+
+        (loss, (out, updates, main, kl_t)), grads = jax.value_and_grad(
+            objective, has_aux=True)(state.params)
+
+        # zero NaN grads (reference: trainer.py:105-107)
+        grads = jax.tree.map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
+        ok = jnp.isfinite(loss)
+
+        upd, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, upd)
+        # skip the whole step on a non-finite loss (reference: trainer.py:103)
+        new_params = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old),
+            new_params, state.params)
+        new_opt = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old),
+            new_opt, state.opt_state)
+
+        model_state = dict(state.model_state)
+        for col in ("batch_stats", "quant"):
+            if col in updates:
+                model_state[col] = updates[col]
+
+        metric_state = _metrics_update(task, metric_state, out, y)
+        logs = {"obj": loss, "main_obj": main, "kl": kl_t}
+        new_state = TrainState(
+            params=new_params, model_state=model_state, opt_state=new_opt,
+            step=state.step + 1, rng=state.rng)
+        return new_state, metric_state, logs
+
+    # no donation: optimizer states may alias identical constant buffers
+    # (per-leaf scalar weight_decay), which donation rejects
+    return jax.jit(step)
+
+
+def make_eval_step(model, cfg: Config, mode: str, update_observers: bool):
+    """Build the jitted (validation) eval step: no grads, no BN updates;
+    quant observers update iff update_observers (QAT validation)."""
+    task = cfg.task
+
+    def step(state: TrainState, metric_state, x, y, key):
+        variables = {"params": state.params, **state.model_state}
+        mutable = ["kl"] + (["quant"] if update_observers else [])
+        out, updates = model.apply(
+            variables, x, train=False, mode=mode, update_stats=update_observers,
+            rngs=split_rngs(key), mutable=mutable)
+        model_state = dict(state.model_state)
+        if "quant" in updates:
+            model_state["quant"] = updates["quant"]
+        new_state = state.replace(model_state=model_state)
+        metric_state = _metrics_update(task, metric_state, out, y)
+        return new_state, metric_state
+
+    return jax.jit(step)
+
+
+class Trainer:
+    """Host-side epoch loop around the jitted steps."""
+
+    def __init__(self, model, cfg: Config, tx, mode: str,
+                 train_loader, valid_loader=None, writer=None):
+        self.model = model
+        self.cfg = cfg
+        self.tx = tx
+        self.mode = mode
+        self.train_loader = train_loader
+        self.valid_loader = valid_loader
+        self.writer = writer
+        self.train_time = 0.0
+        self.val_time = 0.0
+        self.epoch = 0
+        n_batches = len(train_loader)
+        n_points = train_loader.num_examples
+        self._train_step = make_train_step(model, cfg, tx, mode, n_batches,
+                                           n_points)
+        self._eval_step = make_eval_step(
+            model, cfg, mode, update_observers=(mode == "qat"))
+
+    def init_state(self, variables, rng) -> TrainState:
+        params = variables["params"]
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+        return TrainState(
+            params=params, model_state=model_state,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32), rng=rng)
+
+    def variables(self, state: TrainState):
+        return {"params": state.params, **state.model_state}
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, state: TrainState):
+        t0 = time.time()
+        metric_state = _metrics_init(self.cfg.task)
+        logs = {}
+        for i, (x, y) in enumerate(self.train_loader):
+            state, metric_state, logs = self._train_step(
+                state, metric_state, x, y)
+            if i % self.cfg.report_freq == 0 and i > 0:
+                log.info("train step %d/%d obj=%.4f", i,
+                         len(self.train_loader), float(logs["obj"]))
+            if self.cfg.debug:
+                break
+        out = {k: float(v) for k, v in
+               _metrics_compute(self.cfg.task, metric_state).items()}
+        out.update({k: float(v) for k, v in logs.items()})
+        self.train_time += time.time() - t0
+        return state, out
+
+    def eval_epoch(self, state: TrainState, loader, seed: int = 0):
+        t0 = time.time()
+        metric_state = _metrics_init(self.cfg.task)
+        for i, (x, y) in enumerate(loader):
+            key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 17),
+                                     seed * 100003 + i)
+            state, metric_state = self._eval_step(state, metric_state, x, y,
+                                                  key)
+            if self.cfg.debug:
+                break
+        out = {k: float(v) for k, v in
+               _metrics_compute(self.cfg.task, metric_state).items()}
+        self.val_time += time.time() - t0
+        return state, out
+
+    def key_metric(self, metrics: Dict[str, float]) -> float:
+        return metrics["error" if self.cfg.task == "classification"
+                       else "rmse"]
+
+    # ------------------------------------------------------------------
+    def train_loop(self, state: TrainState, special_info: str = ""):
+        """Full training run with checkpoint policy. Returns
+        (state, best_error)."""
+        cfg = self.cfg
+        best_error = float("inf")
+        for epoch in range(cfg.epochs):
+            self.epoch = epoch
+            state, train_m = self.train_epoch(state)
+            log.info("epoch %d/%d train %s", epoch, cfg.epochs, train_m)
+            if self.writer is not None:
+                for k, v in train_m.items():
+                    self.writer.scalar(f"train/{k}", v, epoch)
+
+            val_error = best_error
+            if self.valid_loader is not None:
+                state, val_m = self.eval_epoch(state, self.valid_loader,
+                                               seed=epoch)
+                val_error = self.key_metric(val_m)
+                log.info("epoch %d valid %s", epoch, val_m)
+                if self.writer is not None:
+                    for k, v in val_m.items():
+                        self.writer.scalar(f"valid/{k}", v, epoch)
+
+            if cfg.save_last or val_error <= best_error:
+                info = special_info
+                if (cfg.optimizer == "sghmc"
+                        and epoch >= cfg.burnin_epochs and epoch % 2 == 0
+                        and epoch >= cfg.epochs - cfg.samples * 2):
+                    # posterior snapshot (reference: trainer.py:75-79)
+                    info = f"{special_info}_{epoch}"
+                save_variables(self.variables(state),
+                               checkpoint_path(cfg.save, info))
+                best_error = min(best_error, val_error)
+            if cfg.debug and epoch >= 1:
+                break
+        return state, best_error

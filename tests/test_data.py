@@ -1,0 +1,85 @@
+"""Data pipeline tests: loaders, distortions, UCI folds, augmentation."""
+
+import numpy as np
+import pytest
+
+from qbn_tpu.config import Config
+from qbn_tpu.data import (
+    ArrayLoader, get_train_loaders, get_test_loader,
+    regression_data_generator, apply_distortion, UCIDatasets,
+)
+from qbn_tpu.data.loaders import augment_cifar
+
+
+def test_regression_generator_shape_and_function():
+    x, y = regression_data_generator(n_points=200, seed=0)
+    assert x.shape == (200, 1) and y.shape == (200, 1)
+    xn, yn = regression_data_generator(n_points=200, noise=False, seed=0)
+    np.testing.assert_allclose(yn, 2 * xn + 8, rtol=1e-5)
+
+
+def test_array_loader_batches_and_counts():
+    x = np.arange(25, dtype=np.float32).reshape(25, 1)
+    y = np.arange(25)
+    loader = ArrayLoader(x, y, batch_size=10, shuffle=False)
+    assert len(loader) == 3
+    assert loader.num_examples == 25
+    batches = list(loader)
+    assert batches[0][0].shape == (10, 1)
+    assert batches[2][0].shape == (5, 1)
+    # shuffled train loader drops the tail for fixed XLA shapes
+    tl = ArrayLoader(x, y, batch_size=10, shuffle=True, seed=0)
+    assert len(tl) == 2
+    assert all(b[0].shape == (10, 1) for b in tl)
+
+
+def test_train_valid_split_portion():
+    cfg = Config(dataset="regression_synthetic", batch_size=100,
+                 valid_portion=0.2, seed=3)
+    train, valid = get_train_loaders(cfg)
+    assert train.num_examples == 800
+    assert valid.num_examples == 200
+
+
+def test_distortions():
+    x = np.random.RandomState(0).rand(4, 28, 28, 1).astype(np.float32)
+    rot = apply_distortion(x, "rotation", 2)   # 45 degrees
+    assert rot.shape == x.shape and not np.allclose(rot, x)
+    sh = apply_distortion(x, "shift", 0)       # 0.1 * 28 = 3 px
+    np.testing.assert_allclose(sh[:, :, 3:, :], x[:, :, :-3, :])
+    assert np.all(sh[:, :, :3, :] == 0)
+    br = apply_distortion(x, "brightness", 4)  # x3.5 clamped
+    assert br.max() <= 1.0 and br.mean() > x.mean()
+
+
+def test_distorted_test_loader():
+    cfg = Config(dataset="mnist", batch_size=256, data="./data")
+    loader = get_test_loader(cfg, distortion="rotation", level=1)
+    x, y = next(iter(loader))
+    assert x.shape[1:] == (28, 28, 1)
+    cfg = Config(dataset="random_mnist", batch_size=256, data="./data")
+    ood = get_test_loader(cfg)
+    x, y = next(iter(ood))
+    assert x.shape[1:] == (28, 28, 1)
+
+
+def test_uci_folds_standardised():
+    ds = UCIDatasets("housing", data_path="./data", n_splits=10)
+    xt, yt = ds.get_split(0, train=True)
+    xe, ye = ds.get_split(0, train=False)
+    assert xt.shape[1] == ds.in_dim
+    # training fold standardised to ~zero mean / unit std
+    np.testing.assert_allclose(xt.mean(0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(xt.std(0), 1.0, atol=1e-2)
+    # folds are contiguous and disjoint
+    tr0, te0 = ds.data_splits[0]
+    tr1, te1 = ds.data_splits[1]
+    assert len(np.intersect1d(te0, te1)) == 0
+    assert len(te0) + len(tr0) == len(ds.data)
+
+
+def test_cifar_augment_shapes():
+    x = np.random.RandomState(0).rand(8, 32, 32, 3).astype(np.float32)
+    out = augment_cifar(x, np.random.RandomState(1))
+    assert out.shape == x.shape
+    assert not np.allclose(out, x)
