@@ -1,0 +1,145 @@
+"""Monte-Carlo predictive evaluation: the sample axis lives on-chip.
+
+The reference evaluates S posterior samples with a sequential Python loop
+per batch (reference: experiments/utils.py:344-355). Here the S samples are
+a vmapped leading axis over split PRNG keys — one XLA program computes all
+samples, so the MXU sees batch*S-sized matmuls. For SGHMC ensembles the
+same vmap runs over stacked member parameters (in_axes=0) instead of keys
+(replacing the round-robin counter, reference: models_sgld.py:277-288).
+
+Predictive aggregation matches the reference exactly:
+  * classification: mean of softmax probabilities over samples;
+  * regression: mean = E[mu]; var = Var[mu] (epistemic, unbiased/ddof=1 as
+    torch.var) + E[sigma^2] (aleatoric).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qbn_tpu.config import Config
+from qbn_tpu.training import metrics as M
+from qbn_tpu.utils import split_rngs
+
+
+def _one_sample(model, mode, variables, x, key):
+    out, _ = model.apply(variables, x, train=False, mode=mode,
+                         update_stats=False, rngs=split_rngs(key),
+                         mutable=["kl"])
+    return out
+
+
+def mc_predict(model, variables, x, key, *, samples: int, mode: str,
+               ensemble: bool = False):
+    """All-samples predictive outputs.
+
+    Args:
+      variables: one variable tree, or (if ensemble) a tree whose leaves are
+        stacked along a leading member axis of size `samples`.
+    Returns stacked raw outputs with leading sample axis.
+    """
+    if ensemble:
+        return jax.vmap(
+            lambda v, k: _one_sample(model, mode, v, x, k),
+            in_axes=(0, 0))(variables, jax.random.split(key, samples))
+    if samples == 1:
+        out = _one_sample(model, mode, variables, x, key)
+        return jax.tree.map(lambda o: o[None], out)
+    keys = jax.random.split(key, samples)
+    return jax.vmap(
+        lambda k: _one_sample(model, mode, variables, x, k))(keys)
+
+
+def aggregate(task: str, outs, samples: int):
+    """Reference predictive aggregation over the sample axis."""
+    if task == "classification":
+        return jnp.mean(outs, axis=0)
+    mu, var = outs
+    mean = jnp.mean(mu, axis=0)
+    if samples > 1:
+        total_var = jnp.var(mu, axis=0, ddof=1) + jnp.mean(var, axis=0)
+    else:
+        total_var = jnp.mean(var, axis=0)
+    return mean, total_var
+
+
+def make_mc_eval(model, cfg: Config, mode: str, samples: Optional[int] = None,
+                 ensemble: bool = False):
+    """Jitted batch evaluator: (variables, metric_state, x, y, key) ->
+    (metric_state, aggregated_output)."""
+    samples = cfg.samples if samples is None else samples
+    task = cfg.task
+
+    @jax.jit
+    def step(variables, metric_state, x, y, key):
+        outs = mc_predict(model, variables, x, key, samples=samples,
+                          mode=mode, ensemble=ensemble)
+        agg = aggregate(task, outs, samples)
+        if task == "classification":
+            metric_state = M.cls_metrics_update(metric_state, agg, y)
+        else:
+            mean, var = agg
+            metric_state = M.reg_metrics_update(metric_state, mean, var, y)
+        return metric_state, agg
+
+    return step
+
+
+def evaluate_with_loader(loader, model, variables, cfg: Config, mode: str,
+                         samples: Optional[int] = None,
+                         ensemble: bool = False, seed: int = 0,
+                         collect_outputs: bool = True):
+    """Full-loader MC evaluation.
+
+    Returns (error, ece, entropy, nll, outputs, targets, samples_per_sec)
+    mirroring the reference's _evaluate_with_loader contract
+    (reference: experiments/utils.py:330-377) plus a throughput figure.
+    """
+    samples = cfg.samples if samples is None else samples
+    step = make_mc_eval(model, cfg, mode, samples, ensemble)
+    metric_state = (M.cls_metrics_init() if cfg.task == "classification"
+                    else M.reg_metrics_init())
+    outputs, targets = [], []
+    n_examples = 0
+    t0 = time.time()
+    for i, (x, y) in enumerate(loader):
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1234),
+                                 seed * 1000003 + i)
+        metric_state, agg = step(variables, metric_state, jnp.asarray(x),
+                                 jnp.asarray(y), key)
+        n_examples += len(y)
+        if collect_outputs:
+            outputs.append(jax.tree.map(np.asarray, agg))
+            targets.append(np.asarray(y))
+        if cfg.debug:
+            break
+    jax.block_until_ready(metric_state)
+    dt = max(time.time() - t0, 1e-9)
+    sps = n_examples * samples / dt
+
+    if cfg.task == "classification":
+        m = {k: float(v) for k, v in M.cls_metrics_compute(metric_state
+                                                           ).items()}
+        error, ece, entropy = m["error"], m["ece"], m["entropy"]
+    else:
+        m = {k: float(v) for k, v in M.reg_metrics_compute(metric_state
+                                                           ).items()}
+        error, ece, entropy = m["rmse"], 0.0, 0.0
+    nll = m["nll"]
+
+    if collect_outputs and outputs:
+        if cfg.task == "classification":
+            out = np.concatenate(outputs)
+        else:
+            out = (np.concatenate([o[0] for o in outputs]),
+                   np.concatenate([o[1] for o in outputs]))
+        tgt = np.concatenate(targets)
+    else:
+        out, tgt = None, None
+    return error, ece, entropy, nll, out, tgt, sps
