@@ -69,8 +69,9 @@ def _metrics_compute(task, state):
 
 
 def make_train_step(model, cfg: Config, tx, mode: str, n_batches: int,
-                    n_points: int):
-    """Build the jitted training step."""
+                    n_points: int, jit_compile: bool = True):
+    """Build the training step (jitted by default; pass jit_compile=False
+    to get the raw function for mesh-sharded or vmapped wrapping)."""
     task = cfg.task
     loss_fn = (classification_loss if task == "classification"
                else regression_loss)
@@ -122,10 +123,11 @@ def make_train_step(model, cfg: Config, tx, mode: str, n_batches: int,
 
     # no donation: optimizer states may alias identical constant buffers
     # (per-leaf scalar weight_decay), which donation rejects
-    return jax.jit(step)
+    return jax.jit(step) if jit_compile else step
 
 
-def make_eval_step(model, cfg: Config, mode: str, update_observers: bool):
+def make_eval_step(model, cfg: Config, mode: str, update_observers: bool,
+                   jit_compile: bool = True):
     """Build the jitted (validation) eval step: no grads, no BN updates;
     quant observers update iff update_observers (QAT validation)."""
     task = cfg.task
@@ -143,7 +145,7 @@ def make_eval_step(model, cfg: Config, mode: str, update_observers: bool):
         metric_state = _metrics_update(task, metric_state, out, y)
         return new_state, metric_state
 
-    return jax.jit(step)
+    return jax.jit(step) if jit_compile else step
 
 
 class Trainer:
