@@ -1,0 +1,174 @@
+"""Headline benchmark: MC-samples/sec, INT8 Bayes-by-backprop ResNet-18,
+CIFAR-10 shapes, N=100 posterior samples.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference has no published numbers (BASELINE.md): its converted INT8
+models run single-threaded FBGEMM on CPU with a sequential Python MC loop
+(reference: experiments/utils.py:344-355, quantized modules conv_q.py).
+The baseline here is therefore a measured torch-CPU equivalent of the
+reference's eval path — an eager float32 BBB ResNet-18 (width 24) drawing a
+fresh weight sample per MC sample — cached in BASELINE_MEASURED.json after
+the first run. vs_baseline = ours / baseline on identical
+(examples x samples) work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+BATCH = 256
+SAMPLES = 100
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BASELINE_MEASURED.json")
+
+
+def measure_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from __graft_entry__ import _flagship_int8
+    from qbn_tpu.evaluation.mc import mc_predict
+
+    # Non-degenerate weights: scaled means + real posterior stds so the
+    # int8 logits spread across quantisation buckets and XLA cannot fold
+    # the network away (a fresh random init quantises every logit into one
+    # bucket and benchmarks nothing).
+    cfg, model, variables, _ = _flagship_int8(
+        BATCH, SAMPLES, weight_scale=30.0, std_value=-4.0)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (BATCH, 32, 32, 3),
+                           jnp.float32)
+
+    # chunk the 100-sample axis to bound weight materialisation in HBM
+    chunk = 20
+
+    @jax.jit
+    def predict(variables, x, key):
+        keys = jax.random.split(key, SAMPLES // chunk)
+
+        def body(carry, k):
+            outs = mc_predict(model, variables, x, k, samples=chunk,
+                              mode="int")
+            return carry + jnp.sum(outs, axis=0), 0.0
+
+        total, _ = jax.lax.scan(body, jnp.zeros((BATCH, 10)), keys)
+        return total / SAMPLES
+
+    key = jax.random.PRNGKey(7)
+    # warmup/compile; np.asarray forces a real device->host round trip —
+    # through the remote-execution relay, block_until_ready alone has been
+    # observed to under-report
+    np.asarray(predict(variables, x, key))
+
+    iters = 10
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(iters):
+        out = np.asarray(predict(variables, x, jax.random.fold_in(key, i)))
+        acc += float(out[0, 0])
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(acc)
+    return BATCH * SAMPLES / dt
+
+
+def measure_torch_baseline() -> float:
+    """Eager torch-CPU equivalent of the reference eval loop: per-sample
+    weight draw (w + softplus(rho) * eps) then a width-24 ResNet-18
+    forward, sequential over samples."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+
+    class Block(nn.Module):
+        def __init__(self, cin, planes, stride):
+            super().__init__()
+            self.c1 = nn.Conv2d(cin, planes, 3, stride, 1, bias=False)
+            self.b1 = nn.BatchNorm2d(planes)
+            self.c2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.b2 = nn.BatchNorm2d(planes)
+            self.sc = (nn.Sequential(
+                nn.Conv2d(cin, planes, 1, stride, bias=False),
+                nn.BatchNorm2d(planes))
+                if (stride != 1 or cin != planes) else None)
+
+        def forward(self, x):
+            out = F.relu(self.b1(self.c1(x)))
+            out = self.b2(self.c2(out))
+            sc = x if self.sc is None else self.sc(x)
+            return F.relu(out + sc)
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            widths, blocks, strides = [24, 48, 96, 192], [2] * 4, [1, 2, 2, 2]
+            self.stem = nn.Conv2d(3, 24, 3, 1, 1, bias=False)
+            self.bn = nn.BatchNorm2d(24)
+            layers = []
+            cin = 24
+            for w, b, s in zip(widths, blocks, strides):
+                for i in range(b):
+                    layers.append(Block(cin, w, s if i == 0 else 1))
+                    cin = w
+            self.body = nn.Sequential(*layers)
+            self.fc = nn.Linear(192, 10, bias=False)
+
+        def forward(self, x):
+            x = F.relu(self.bn(self.stem(x)))
+            x = self.body(x)
+            x = F.avg_pool2d(x, 4).flatten(1)
+            return F.softmax(self.fc(x), -1)
+
+    net = Net().eval()
+    # posterior std parameters for the weight draw
+    rhos = [torch.full_like(p, -10.0) for p in net.parameters()]
+    means = [p.detach().clone() for p in net.parameters()]
+    x = torch.rand(BATCH, 3, 32, 32)
+
+    def one_sample():
+        with torch.no_grad():
+            for p, m, r in zip(net.parameters(), means, rhos):
+                p.copy_(m + F.softplus(r) * torch.randn_like(m))
+            return net(x)
+
+    one_sample()  # warmup
+    n = 3
+    t0 = time.perf_counter()
+    for _ in range(n):
+        one_sample()
+    dt = time.perf_counter() - t0
+    return BATCH * n / dt
+
+
+def main():
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as fh:
+            baseline = json.load(fh)["mc_samples_per_sec"]
+    else:
+        baseline = measure_torch_baseline()
+        with open(BASELINE_CACHE, "w") as fh:
+            json.dump({
+                "mc_samples_per_sec": baseline,
+                "what": "torch-CPU eager BBB ResNet-18(w24) eval, "
+                        "sequential per-sample weight draws (reference "
+                        "eval-path equivalent; reference INT8 runs "
+                        "single-threaded FBGEMM on CPU)",
+                "batch": BATCH,
+            }, fh, indent=2)
+
+    value = measure_tpu()
+    print(json.dumps({
+        "metric": "MC-samples/sec (INT8 BBB ResNet-18 CIFAR-10, N=100, "
+                  "batch 256)",
+        "value": round(value, 1),
+        "unit": "example-samples/sec",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Full experiment grid driver — replaces run_all_float.sh / run_all_quant.sh.
+
+Float grid (reference: run_all_float.sh:6-44): for each (method x tier),
+3 seeds, then average.
+
+Quant grid (reference: run_all_quant.sh:7-62): for each float 'default'
+checkpoint, sweep weight precision w in {3..8} at a=7, and activation
+precision a in {3..6} at w=8, each into an 'a_A_w_W' subdirectory; 3 seeds
+averaged.
+
+Usage:
+  python experiments/sweep.py float --methods bbb --tiers cifar --seeds 1 2 3
+  python experiments/sweep.py quant --methods bbb --tiers cifar \
+      --load not_q-cifar-... [--seeds 1 2 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from experiments import average_results  # noqa: E402
+from experiments.run import main as run_main  # noqa: E402
+
+WEIGHT_SWEEP = [8, 7, 6, 5, 4, 3]          # at a=7
+ACTIVATION_SWEEP = [6, 5, 4, 3]            # at w=8
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("experiment grid sweep")
+    p.add_argument("grid", choices=["float", "quant"])
+    p.add_argument("--methods", nargs="+",
+                   default=["pointwise", "mcdropout", "bbb", "sgld"])
+    p.add_argument("--tiers", nargs="+",
+                   default=["regression", "mnist", "cifar"])
+    p.add_argument("--seeds", nargs="+", type=int, default=[1, 2, 3])
+    p.add_argument("--load", default=None,
+                   help="float experiment dir (quant grid)")
+    p.add_argument("--out", default="sweeps")
+    p.add_argument("--extra", nargs="*", default=[],
+                   help="extra flags passed through to run.py")
+    args = p.parse_args(argv)
+
+    os.makedirs(args.out, exist_ok=True)
+    for method in args.methods:
+        for tier in args.tiers:
+            if args.grid == "float":
+                run_dirs = []
+                for seed in args.seeds:
+                    d = os.path.join(args.out,
+                                     f"{method}-{tier}-seed{seed}")
+                    run_main(["--method", method, "--tier", tier,
+                              "--phase", "float", "--seed", str(seed),
+                              "--save", d] + args.extra)
+                    run_dirs.append(d)
+                average_results.main(
+                    run_dirs + ["--save",
+                                os.path.join(args.out,
+                                             f"{method}-{tier}-avg")])
+            else:
+                if not args.load:
+                    raise SystemExit("--load is required for the quant grid")
+                cells = ([(7, w) for w in WEIGHT_SWEEP]
+                         + [(a, 8) for a in ACTIVATION_SWEEP])
+                for a_bits, w_bits in cells:
+                    d = os.path.join(args.out,
+                                     f"{method}-{tier}-a_{a_bits}_w_{w_bits}")
+                    run_main(["--method", method, "--tier", tier,
+                              "--phase", "qat", "--load", args.load,
+                              "--activation_precision", str(a_bits),
+                              "--weight_precision", str(w_bits),
+                              "--save", d] + args.extra)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Presentation plots over aggregated sweep results.
+
+Equivalents of the reference presentation scripts
+(reference: experiments/presentation/plot_candlesticks.py:48-178,
+plot_continous.py:47-128): box-plot grids of a metric vs distortion level
+(or vs UCI dataset) for the four methods, and line+errorbar plots of a
+metric vs quantisation bit-width with x-ticks
+'Float32, Q:A7W8 ... Q:A3W8'.
+
+Input: summary results.json files produced by experiments/average_results.py
+(leaves are [mean, std] pairs).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+METHOD_LABELS = {"pointwise": "Pointwise", "mcdropout": "MC-Dropout",
+                 "bbb": "BBB", "sgld": "SGHMC"}
+METRIC_LABELS = {
+    "error": "Error [%]", "ece": "ECE [%]", "entropy": "Entropy [nats]",
+    "nll": "NLL [nats]", "brier": "Brier score",
+    "rmse": "RMSE", "mse": "MSE", "mae": "MAE",
+}
+DISTORTIONS = ["rotation", "shift", "brightness"]
+
+
+def _plt():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def _leaf_mean(v):
+    if isinstance(v, (list, tuple)):
+        return float(v[0])
+    return float(v)
+
+
+def _leaf_std(v):
+    if isinstance(v, (list, tuple)) and len(v) > 1:
+        return float(v[1])
+    return 0.0
+
+
+def plot_distortion_grid(results_by_method: Dict[str, dict], metric: str,
+                         path: str) -> None:
+    """Metric vs distortion severity, one panel per distortion, one line
+    (with std band) per method."""
+    plt = _plt()
+    f, axes = plt.subplots(1, len(DISTORTIONS),
+                           figsize=(4 * len(DISTORTIONS), 3), sharey=True)
+    for ax, distortion in zip(axes, DISTORTIONS):
+        for method, res in results_by_method.items():
+            tree = res.get(metric, {}).get(distortion, {})
+            if not tree:
+                continue
+            levels = sorted(tree, key=int)
+            means = [_leaf_mean(tree[l]) for l in levels]
+            stds = [_leaf_std(tree[l]) for l in levels]
+            xs = [int(l) + 1 for l in levels]
+            ax.errorbar(xs, means, yerr=stds, marker="o",
+                        label=METHOD_LABELS.get(method, method))
+        ax.set_xlabel(f"{distortion} level")
+        ax.set_title(distortion)
+    axes[0].set_ylabel(METRIC_LABELS.get(metric, metric))
+    axes[0].legend(fontsize="small")
+    f.tight_layout()
+    f.savefig(path)
+    plt.close(f)
+
+
+def plot_bitwidth_lines(float_results: Dict[str, dict],
+                        quant_results: Dict[str, Dict[str, dict]],
+                        metric: str, split: str, path: str,
+                        cells: Optional[Sequence[str]] = None) -> None:
+    """Metric vs precision: x-ticks Float32, Q:A7W8 ... Q:A3W8
+    (reference plot_continous.py:52-55,99-116).
+
+    quant_results: method -> cell name ('a_7_w_8') -> results tree.
+    """
+    plt = _plt()
+    if cells is None:
+        cells = (["a_7_w_%d" % w for w in (8, 7, 6, 5, 4, 3)]
+                 + ["a_%d_w_8" % a for a in (6, 5, 4, 3)])
+    ticks = ["Float32"] + [
+        "Q:A{}W{}".format(c.split("_")[1], c.split("_")[3]) for c in cells]
+    f, ax = plt.subplots(1, 1, figsize=(7, 3))
+    for method in quant_results:
+        ys, es = [], []
+        fl = float_results.get(method, {}).get(metric, {}).get(split)
+        ys.append(_leaf_mean(fl) if fl is not None else np.nan)
+        es.append(_leaf_std(fl) if fl is not None else 0.0)
+        for cell in cells:
+            v = quant_results[method].get(cell, {}).get(metric,
+                                                        {}).get(split)
+            ys.append(_leaf_mean(v) if v is not None else np.nan)
+            es.append(_leaf_std(v) if v is not None else 0.0)
+        ax.errorbar(range(len(ticks)), ys, yerr=es, marker="o",
+                    label=METHOD_LABELS.get(method, method))
+    ax.set_xticks(range(len(ticks)))
+    ax.set_xticklabels(ticks, rotation=45, fontsize=8)
+    ax.set_ylabel(METRIC_LABELS.get(metric, metric))
+    ax.legend(fontsize="small")
+    f.tight_layout()
+    f.savefig(path)
+    plt.close(f)
+
+
+def load_summary(path: str) -> dict:
+    with open(os.path.join(path, "results.json")) as fh:
+        return json.load(fh)

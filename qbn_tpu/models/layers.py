@@ -71,10 +71,27 @@ class QuantConfig:
 
 @flax.struct.dataclass
 class QTensor:
-    """Quantised activation: integer codes + per-tensor affine qparams."""
-    codes: jax.Array   # int32, uint8-range codes
+    """Quantised activation: CENTERED int8 codes + per-tensor qparams.
+
+    codes = q - 128 where q is the uint8-convention code with zero point
+    zp (zp stays in uint convention, 0..255). dequant =
+    (codes + 128 - zp) * scale. Centering keeps every activation int8 on
+    the wire (4x less HBM traffic than int32 carriers) and feeds the MXU's
+    int8 path directly (see qbn_tpu.ops.integer).
+    """
+    codes: jax.Array   # int8, centered codes
     scale: jax.Array   # f32 scalar
-    zp: jax.Array      # int32 scalar
+    zp: jax.Array      # int32 scalar (uint8 convention)
+
+
+def quantize_centered(x, scale, zp, a_lo: int, a_hi: int):
+    """Float -> centered int8 codes clamped to the sub-8-bit bounds."""
+    q = quantize(x, scale, zp, a_lo, a_hi, dtype=jnp.int32)
+    return (q - 128).astype(jnp.int8)
+
+
+def dequantize_centered(codes, scale, zp):
+    return (codes.astype(jnp.float32) + (128.0 - zp)) * scale
 
 
 def _torch_linear_init(key, shape, dtype=jnp.float32):
@@ -554,10 +571,12 @@ class BernoulliDropout(nn.Module, QuantOps):
                 {"mul_scale": "scalar_f", "mul_zp": "scalar_i"}))
             ms, mz = qc.value["mul_scale"], qc.value["mul_zp"]
             ab = self.quant.a_bounds
-            mask_q = quantize(mask, ms, mz, 0, 255, dtype=jnp.int32)
-            codes = quantized_mul(x.codes, x.scale, x.zp, mask_q, ms, mz,
-                                  ms, mz, 0, 255, dtype=jnp.int32)
-            codes = jnp.clip(codes, ab[0], ab[1])
+            # the mask itself is quantised on the output grid (reference
+            # dropout.py:31-34), then multiply + requantise
+            mask_deq = dequantize(quantize(mask, ms, mz, 0, 255,
+                                           dtype=jnp.int32), ms, mz)
+            prod = dequantize_centered(x.codes, x.scale, x.zp) * mask_deq
+            codes = quantize_centered(prod, ms, mz, ab[0], ab[1])
             # mul_scalar: output scale = scale * multiplier, codes unchanged
             return QTensor(codes, ms * multiplier, mz)
         # observer variable must exist in float mode too for tree parity
@@ -591,9 +610,9 @@ class ResidualAdd(nn.Module, QuantOps):
             {"scale": "scalar_f", "zp": "scalar_i"}))
         s, z = qc.value["scale"], qc.value["zp"]
         ab = self.quant.a_bounds
-        codes = quantized_add(a.codes, a.scale, a.zp, b.codes, b.scale, b.zp,
-                              s, z, 0, 255, dtype=jnp.int32)
-        return QTensor(jnp.clip(codes, ab[0], ab[1]), s, z)
+        total = (dequantize_centered(a.codes, a.scale, a.zp)
+                 + dequantize_centered(b.codes, b.scale, b.zp))
+        return QTensor(quantize_centered(total, s, z, ab[0], ab[1]), s, z)
 
 
 class InputQuant(nn.Module, QuantOps):
@@ -619,14 +638,13 @@ class InputQuant(nn.Module, QuantOps):
             {"scale": "scalar_f", "zp": "scalar_i"}))
         s, z = qc.value["scale"], qc.value["zp"]
         ab = self.quant.a_bounds
-        codes = quantize(x, s, z, ab[0], ab[1], dtype=jnp.int32)
-        return QTensor(codes, s, z)
+        return QTensor(quantize_centered(x, s, z, ab[0], ab[1]), s, z)
 
 
 def dequant(x):
     """DeQuantStub equivalent: QTensor codes back to float32."""
     if isinstance(x, QTensor):
-        return dequantize(x.codes, x.scale, x.zp)
+        return dequantize_centered(x.codes, x.scale, x.zp)
     return x
 
 
@@ -634,7 +652,7 @@ def max_pool(x, window: int = 2, stride: int = 2):
     """Max pool, mode-polymorphic: integer codes pool by max directly."""
     if isinstance(x, QTensor):
         codes = lax.reduce_window(
-            x.codes, -(2 ** 31), lax.max,
+            x.codes, jnp.int8(-128), lax.max,
             (1, window, window, 1), (1, stride, stride, 1), "VALID")
         return QTensor(codes, x.scale, x.zp)
     return nn.max_pool(x, (window, window), (stride, stride), "VALID")
@@ -645,10 +663,10 @@ def avg_pool(x, window: int):
     (FBGEMM quantised avg-pool keeps scale/zp and rounds)."""
     if isinstance(x, QTensor):
         summed = lax.reduce_window(
-            x.codes, 0, lax.add,
+            x.codes.astype(jnp.int32), 0, lax.add,
             (1, window, window, 1), (1, window, window, 1), "VALID")
         codes = jnp.round(summed.astype(jnp.float32)
-                          / (window * window)).astype(jnp.int32)
+                          / (window * window)).astype(jnp.int8)
         return QTensor(codes, x.scale, x.zp)
     return nn.avg_pool(x, (window, window), (window, window), "VALID")
 
@@ -664,5 +682,6 @@ def relu(x):
     max(code, zero_point), with no new observer — matching the converted
     reference nets where a bare ReLU acts on the quantised tensor."""
     if isinstance(x, QTensor):
-        return QTensor(jnp.maximum(x.codes, x.zp), x.scale, x.zp)
+        zc = (x.zp - 128).astype(jnp.int8)
+        return QTensor(jnp.maximum(x.codes, zc), x.scale, x.zp)
     return jax.nn.relu(x)

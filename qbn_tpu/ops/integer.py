@@ -1,16 +1,28 @@
-"""Integer inference kernels: quantised dense / conv with float rescale.
+"""Integer inference kernels: int8 MXU dense / conv with exact zero-point
+decomposition.
 
-TPU-native replacement for the FBGEMM int8 CPU kernels the reference's
-converted models call (reference: src/models/stochastic/bbb/quantized/
-linear_q.py:93, conv_q.py:120-125). Activations travel as uint8-range codes
-in int32 carriers; weights are int8 codes. The dense path feeds the MXU with
-an int8 x int8 -> int32 dot (the activation codes are shifted by 128 to fit
-int8, with a column-sum correction). The conv path accumulates exactly in
-float32 (worst-case accumulator magnitudes here are < 2^26; the post-scale
-requantisation step is ~2^8 coarser than any f32 rounding).
+TPU-native replacement for the FBGEMM int8 CPU kernels behind the
+reference's converted models (reference: src/models/stochastic/bbb/
+quantized/linear_q.py:93, conv_q.py:120-125).
 
-Requantisation: y_code = clamp(round((acc * sx * sw + bias) / sy) + zy),
-matching FBGEMM's float-requant to within rounding.
+Representation: activations travel as CENTERED int8 codes c = q - 128,
+where q is the uint8-convention code with zero point zp (so
+dequant(c) = (c + 128 - zp) * scale). Centering keeps every tensor int8 —
+4x less HBM traffic than an int32 carrier and both MXU operands natively
+int8. Weights are int8 codes with zero point zw.
+
+With u = q - zp = c - zt (zt = zp - 128) and w' = w - zw, the int32
+accumulator decomposes exactly into one big int8 x int8 MXU product plus
+cheap rank-1 / constant corrections:
+
+  dense:  u . w' = dot(c, w) - zw*rowsum(c) - zt*colsum(w) + K*zt*zw
+  conv:   u * w' = conv(c, w) - zw*conv(c, 1) - zt*conv(mask, w)
+                   + zt*zw*conv(mask, 1)
+          (mask = 1 on the image, 0 on the zero padding: FBGEMM pads with
+          the activation zero point, i.e. u = 0 in the halo.)
+
+Requantisation: c_out = clamp(round((acc*sx*sw + bias)/sy) + zy, 0,255)-128,
+then the sub-8-bit clamp (reference clamp_activation, src/utils.py:25-31).
 """
 
 from __future__ import annotations
@@ -18,43 +30,38 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
+_DN = ("NHWC", "HWIO", "NHWC")
+
 
 def _requant_out(acc_f32, bias, out_scale, out_zp, relu, a_lo, a_hi):
+    """Float-requantise an accumulator to centered int8 codes."""
     y = acc_f32
     if bias is not None:
         y = y + bias
     q = jnp.round(y / out_scale) + out_zp
-    q = jnp.clip(q, 0, 255).astype(jnp.int32)
+    q = jnp.clip(q, 0, 255) - 128
     if relu:
-        q = jnp.maximum(q, out_zp)  # quantised ReLU: max(code, zero_point)
-    return jnp.clip(q, a_lo, a_hi)  # sub-8-bit clamp (utils.py:25-31 semantics)
+        q = jnp.maximum(q, out_zp - 128)  # quantised ReLU: max(code, zp)
+    return jnp.clip(q, a_lo - 128, a_hi - 128).astype(jnp.int8)
 
 
 def int_dense(x_codes, x_scale, x_zp, w_codes, w_scale, w_zp, bias,
               out_scale, out_zp, a_lo: int, a_hi: int, relu: bool = False):
-    """Quantised dense layer on integer codes.
+    """Quantised dense layer on centered int8 activation codes.
 
     Args:
-      x_codes: (B, in) activation codes (int32, uint8 range).
-      w_codes: (in, out) weight codes (int8 or int32 carrying int8 range).
-    Returns (B, out) activation codes (int32) on (out_scale, out_zp).
+      x_codes: (B, K) centered int8 codes.
+      w_codes: (K, N) int8 weight codes (int8 or int32 carrying int8 range).
+    Returns (B, N) centered int8 codes on (out_scale, out_zp).
     """
-    # Exact zero-point decomposition keeping both MXU operands in int8:
-    #   (x - zx).(w - zw) = (x-128).w + (128-zx)*colsum(w)
-    #                       - zw*rowsum(x-zx)
-    # x in [0,255] so x-128 fits int8; w codes are already int8.
     k = x_codes.shape[-1]
-    x8 = (x_codes - 128).astype(jnp.int8)
+    zt = x_zp - 128
     w8 = w_codes.astype(jnp.int8)
-    acc = lax.dot_general(
-        x8, w8, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    w32 = w_codes.astype(jnp.int32)
-    colsum_w = jnp.sum(w32, axis=0, keepdims=True)           # (1, out)
-    rowsum_x = jnp.sum(x_codes.astype(jnp.int32), axis=-1,
-                       keepdims=True) - k * x_zp             # (B, 1)
-    acc = acc + (128 - x_zp) * colsum_w - w_zp * rowsum_x
+    acc = lax.dot_general(x_codes, w8, (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.int32)
+    rowsum_c = jnp.sum(x_codes.astype(jnp.int32), axis=-1, keepdims=True)
+    colsum_w = jnp.sum(w_codes.astype(jnp.int32), axis=0, keepdims=True)
+    acc = acc - w_zp * rowsum_c - zt * colsum_w + k * zt * w_zp
     acc_f = acc.astype(jnp.float32) * (x_scale * w_scale)
     return _requant_out(acc_f, bias, out_scale, out_zp, relu, a_lo, a_hi)
 
@@ -62,17 +69,36 @@ def int_dense(x_codes, x_scale, x_zp, w_codes, w_scale, w_zp, bias,
 def int_conv(x_codes, x_scale, x_zp, w_codes, w_scale, w_zp, bias,
              out_scale, out_zp, strides, padding,
              a_lo: int, a_hi: int, relu: bool = False):
-    """Quantised 2-D convolution on integer codes (NHWC / HWIO).
+    """Quantised 2-D conv on centered int8 codes (NHWC / HWIO), computed as
+    one int8 MXU conv + three cheap correction convs."""
+    zt = x_zp - 128
+    w8 = w_codes.astype(jnp.int8)
+    kh, kw, cin, cout = w8.shape
 
-    Zero-padding in the integer domain must pad with the activation
-    zero-point, not 0; equivalently we center the codes first and pad with
-    zeros, which is what XLA's conv does.
-    """
-    xc = (x_codes - x_zp).astype(jnp.float32)
-    wc = (w_codes.astype(jnp.int32) - w_zp).astype(jnp.float32)
+    # A: the heavy int8 x int8 product
     acc = lax.conv_general_dilated(
-        xc, wc, strides, padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    acc_f = acc * (x_scale * w_scale)
+        x_codes, w8, strides, padding, dimension_numbers=_DN,
+        preferred_element_type=jnp.int32)
+
+    # B: -zw * window-sum of activations (per batch/position, bcast cout)
+    ones_k = jnp.ones((kh, kw, cin, 1), jnp.int8)
+    winsum = lax.conv_general_dilated(
+        x_codes, ones_k, strides, padding, dimension_numbers=_DN,
+        preferred_element_type=jnp.int32)
+
+    # C/D: padding-aware constants (batch-independent): conv of the valid
+    # mask with the cin-summed weights / with the window size. f32 is exact
+    # here (values << 2^24).
+    h, w_sp = x_codes.shape[1], x_codes.shape[2]
+    mask = jnp.ones((1, h, w_sp, 1), jnp.float32)
+    wsum = jnp.sum(w_codes.astype(jnp.float32), axis=2, keepdims=True)
+    maskw = lax.conv_general_dilated(mask, wsum, strides, padding,
+                                     dimension_numbers=_DN)
+    maskn = lax.conv_general_dilated(
+        mask, jnp.ones((kh, kw, 1, 1), jnp.float32), strides, padding,
+        dimension_numbers=_DN) * cin
+
+    acc_f = (acc - w_zp * winsum).astype(jnp.float32) \
+        - zt * maskw + (zt * w_zp) * maskn
+    acc_f = acc_f * (x_scale * w_scale)
     return _requant_out(acc_f, bias, out_scale, out_zp, relu, a_lo, a_hi)

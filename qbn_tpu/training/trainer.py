@@ -253,6 +253,4 @@ class Trainer:
                 save_variables(self.variables(state),
                                checkpoint_path(cfg.save, info))
                 best_error = min(best_error, val_error)
-            if cfg.debug and epoch >= 1:
-                break
         return state, best_error
