@@ -44,8 +44,11 @@ def measure_tpu() -> float:
 
     # chunk the 100-sample axis to bound weight materialisation in HBM
     chunk = 20
+    iters = 16  # chained inside ONE program: the remote-execution relay
+    # makes per-call host timing unreliable (block_until_ready can return
+    # early and per-call D2H fetches pay the full tunnel RTT); amortising
+    # many chained predictions over a single fetch gives the honest number.
 
-    @jax.jit
     def predict(variables, x, key):
         keys = jax.random.split(key, SAMPLES // chunk)
 
@@ -57,21 +60,19 @@ def measure_tpu() -> float:
         total, _ = jax.lax.scan(body, jnp.zeros((BATCH, 10)), keys)
         return total / SAMPLES
 
-    key = jax.random.PRNGKey(7)
-    # warmup/compile; np.asarray forces a real device->host round trip —
-    # through the remote-execution relay, block_until_ready alone has been
-    # observed to under-report
-    np.asarray(predict(variables, x, key))
+    @jax.jit
+    def loop(variables, x, key):
+        def body(i, acc):
+            return acc + predict(variables, x, jax.random.fold_in(key, i))
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((BATCH, 10)))
 
-    iters = 10
+    key = jax.random.PRNGKey(7)
+    np.asarray(loop(variables, x, key))  # warmup/compile
     t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(iters):
-        out = np.asarray(predict(variables, x, jax.random.fold_in(key, i)))
-        acc += float(out[0, 0])
-    dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(acc)
-    return BATCH * SAMPLES / dt
+    out = np.asarray(loop(variables, x, jax.random.fold_in(key, 1)))
+    dt = time.perf_counter() - t0
+    assert np.all(np.isfinite(out))
+    return BATCH * SAMPLES * iters / dt
 
 
 def measure_torch_baseline() -> float:
