@@ -1,0 +1,76 @@
+"""Pallas kernel tests against exact XLA oracles (explicit-noise variants;
+TPU interpret mode on CPU — its on-chip PRNG is exercised on real TPU by
+bench/graft runs)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qbn_tpu.ops.pallas.sample_weights import (
+    sample_weights_int8, sample_weights_oracle,
+)
+from qbn_tpu.ops.pallas.bbb_dense import local_reparam_dense_fused
+from qbn_tpu.ops.stochastic import local_reparam_dense
+
+
+QP = dict(w_scale=0.01, w_zp=0, std_scale=0.002, std_zp=-10,
+          mul_scale=0.004, mul_zp=0, add_scale=0.012, add_zp=1)
+
+
+def test_sample_weights_matches_oracle_exactly():
+    m, n, s = 32, 128, 8
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randint(-100, 100, (m, n)).astype(np.int8))
+    std = jnp.asarray(rng.randint(20, 60, (m, n)).astype(np.int8))
+    noise = jnp.asarray(rng.randn(s, m, n).astype(np.float32))
+    out = np.asarray(sample_weights_int8(
+        w, std, QP, seed=0, samples=s, w_lo=-128, w_hi=127, noise=noise,
+        interpret=True))
+    expect = np.asarray(sample_weights_oracle(w, std, QP, noise,
+                                              -128, 127))
+    np.testing.assert_array_equal(out, expect)
+    # the noise actually moves codes around
+    assert np.std(out.astype(np.float32), axis=0).mean() > 0.5
+
+
+def test_sample_weights_respects_sub8bit_bounds():
+    m, n, s = 32, 128, 4
+    rng = np.random.RandomState(1)
+    w = jnp.asarray(rng.randint(-100, 100, (m, n)).astype(np.int8))
+    std = jnp.asarray(rng.randint(30, 80, (m, n)).astype(np.int8))
+    noise = jnp.asarray(rng.randn(s, m, n).astype(np.float32) * 2)
+    out = np.asarray(sample_weights_int8(
+        w, std, QP, seed=0, samples=s, w_lo=-8, w_hi=7, noise=noise,
+        interpret=True))
+    assert out.min() >= -8 and out.max() <= 7
+
+
+def test_local_reparam_fused_matches_xla_oracle():
+    b, k, n = 16, 64, 128
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(b, k).astype(np.float32))
+    w = jnp.asarray(rng.randn(k, n).astype(np.float32) * 0.1)
+    sp = jnp.asarray(rng.uniform(0.05, 0.2, (k, n)).astype(np.float32))
+    noise = jnp.asarray(rng.randn(b, n).astype(np.float32))
+    out = np.asarray(local_reparam_dense_fused(x, w, sp, seed=0,
+                                               noise=noise, interpret=True))
+    mean = np.asarray(x) @ np.asarray(w)
+    var = (np.asarray(x) ** 2) @ (np.asarray(sp) ** 2)
+    expect = mean + np.sqrt(1e-8 + var) * np.asarray(noise)
+    np.testing.assert_allclose(out, expect, rtol=2e-5, atol=2e-5)
+
+
+def test_local_reparam_fused_pads_ragged_batch():
+    b, k, n = 10, 16, 128  # b not a multiple of the block
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(b, k).astype(np.float32))
+    w = jnp.asarray(rng.randn(k, n).astype(np.float32))
+    sp = jnp.asarray(np.full((k, n), 1e-6, np.float32))
+    noise = jnp.asarray(rng.randn(b, n).astype(np.float32))
+    out = np.asarray(local_reparam_dense_fused(x, w, sp, seed=0, block_b=8,
+                                               noise=noise, interpret=True))
+    assert out.shape == (b, n)
+    # with ~zero posterior std the output is the plain matmul
+    np.testing.assert_allclose(out, np.asarray(x) @ np.asarray(w),
+                               atol=1e-2)
