@@ -63,13 +63,24 @@ def brighten(images: np.ndarray, factor: float) -> np.ndarray:
 def apply_distortion(images: np.ndarray, distortion: str,
                      level: int) -> np.ndarray:
     """Apply one named distortion at a severity level in 0..4 to [0,1]
-    NHWC images."""
+    NHWC images. Uses the native threaded pipeline when available."""
     if distortion is None:
         return images
+    from qbn_tpu.data import native
+    use_native = native.available()
     if distortion == "rotation":
+        if use_native:
+            return native.rotate(images, float(ROTATION_LEVELS[level]))
         return rotate(images, ROTATION_LEVELS[level])
     if distortion == "shift":
+        if use_native:
+            w = images.shape[2]
+            return native.hshift(images,
+                                 int(round(SHIFT_LEVELS[level] * w)))
         return horizontal_shift(images, SHIFT_LEVELS[level])
     if distortion == "brightness":
+        if use_native:
+            return native.brighten(images,
+                                   float(BRIGHTNESS_LEVELS[level]))
         return brighten(images, BRIGHTNESS_LEVELS[level])
     raise NotImplementedError(f"Unknown distortion '{distortion}'")

@@ -23,18 +23,24 @@ log = logging.getLogger(__name__)
 
 
 def augment_cifar(x: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
-    """Random crop (pad 4, reflect zero-pad) + horizontal flip, per batch
-    (reference transform list, src/data.py:148-154)."""
+    """Random crop (pad 4, zero fill) + horizontal flip, per batch
+    (reference transform list, src/data.py:148-154). Runs on the native
+    threaded C++ pipeline when available (qbn_tpu.data.native); the numpy
+    fallback is bit-identical given the same sampled parameters."""
     n, h, w, c = x.shape
-    pad = np.zeros((n, h + 8, w + 8, c), x.dtype)
-    pad[:, 4:4 + h, 4:4 + w, :] = x
-    out = np.empty_like(x)
     ys = rng.randint(0, 9, n)
     xs = rng.randint(0, 9, n)
-    flip = rng.rand(n) < 0.5
+    flip = (rng.rand(n) < 0.5).astype(np.uint8)
+    from qbn_tpu.data import native
+    if native.available():
+        return native.cifar_augment(x, ys, xs, flip)
+    out = np.empty_like(x)
+    pad = np.zeros((h + 8, w + 8, c), x.dtype)
     for i in range(n):
-        img = pad[i, ys[i]:ys[i] + h, xs[i]:xs[i] + w, :]
-        out[i] = img[:, ::-1, :] if flip[i] else img
+        base = x[i, :, ::-1, :] if flip[i] else x[i]
+        pad[:] = 0
+        pad[4:4 + h, 4:4 + w, :] = base
+        out[i] = pad[ys[i]:ys[i] + h, xs[i]:xs[i] + w, :]
     return out
 
 
