@@ -60,6 +60,8 @@ class Config:
     # Bookkeeping
     seed: int = 1
     debug: bool = False                   # break every loop after one batch
+    debug_nans: bool = False              # raise on first NaN inside jit
+    profile: bool = False                 # write a jax.profiler trace
     save: str = "EXP"
     load: Optional[str] = None
     save_last: bool = True

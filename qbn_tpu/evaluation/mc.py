@@ -36,24 +36,102 @@ def _one_sample(model, mode, variables, x, key):
 
 
 def mc_predict(model, variables, x, key, *, samples: int, mode: str,
-               ensemble: bool = False):
+               ensemble: bool = False, plan=None):
     """All-samples predictive outputs.
 
     Args:
       variables: one variable tree, or (if ensemble) a tree whose leaves are
         stacked along a leading member axis of size `samples`.
+      plan: optional presampling plan (presample_plan): INT mode draws every
+        stochastic layer's per-sample weight codes up-front (one fused
+        Pallas kernel per layer over ALL samples) instead of inside the
+        vmapped forward.
     Returns stacked raw outputs with leading sample axis.
     """
     if ensemble:
         return jax.vmap(
             lambda v, k: _one_sample(model, mode, v, x, k),
             in_axes=(0, 0))(variables, jax.random.split(key, samples))
+    if plan and mode == "int":
+        k_w, key = jax.random.split(key)
+        sampled = draw_sampled_weights(variables, plan, k_w, samples)
+        keys = jax.random.split(key, samples)
+        return jax.vmap(
+            lambda s_tree, k: _one_sample(
+                model, mode, {**variables, "sampled": s_tree}, x, k)
+        )(sampled, keys)
     if samples == 1:
         out = _one_sample(model, mode, variables, x, key)
         return jax.tree.map(lambda o: o[None], out)
     keys = jax.random.split(key, samples)
     return jax.vmap(
         lambda k: _one_sample(model, mode, variables, x, k))(keys)
+
+
+def presample_plan(variables):
+    """Static plan of stochastic quantised blocks: [(path, w_lo, w_hi)].
+
+    Must be computed on CONCRETE variables (outside jit) — the flags are
+    read eagerly. Returns None if the model has no stochastic blocks.
+    """
+    qconst = variables.get("qconst")
+    if qconst is None:
+        return None
+    plan = []
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return
+        if "w_codes" in node and "is_stoch" in node:
+            if int(np.asarray(node["is_stoch"])) == 1:
+                plan.append((path, int(np.asarray(node["w_lo"])),
+                             int(np.asarray(node["w_hi"]))))
+            return
+        for k, v in node.items():
+            walk(v, path + (k,))
+
+    walk(qconst, ())
+    return plan or None
+
+
+def draw_sampled_weights(variables, plan, key, samples: int):
+    """Traceable bulk posterior draw following a presample_plan.
+
+    Uses the fused Pallas kernel on TPU, its XLA oracle elsewhere. Returns
+    the 'sampled' collection tree ('w' leaf replacing each 'q' entry key).
+    """
+    from qbn_tpu.ops.pallas.sample_weights import (
+        sample_weights_int8, sample_weights_oracle,
+    )
+    on_tpu = jax.devices()[0].platform == "tpu"
+    out = {}
+    for i, (path, w_lo, w_hi) in enumerate(plan):
+        node = variables["qconst"]
+        for k in path:
+            node = node[k]
+        shape = node["w_codes"].shape
+        m = int(np.prod(shape[:-1]))
+        n = int(shape[-1])
+        qp = {k2: node[k2] for k2 in (
+            "w_scale", "w_zp", "std_scale", "std_zp", "mul_scale",
+            "mul_zp", "add_scale", "add_zp")}
+        w2 = node["w_codes"].reshape(m, n)
+        s2 = node["std_codes"].reshape(m, n)
+        k_i = jax.random.fold_in(key, i)
+        if on_tpu:
+            seed = jax.random.randint(k_i, (), 0, 2 ** 31 - 1)
+            codes = sample_weights_int8(w2, s2, qp, seed, samples,
+                                        w_lo, w_hi)
+        else:
+            noise = jax.random.normal(k_i, (samples, m, n), jnp.float32)
+            codes = sample_weights_oracle(w2, s2, qp, noise, w_lo, w_hi)
+        codes = codes.reshape((samples,) + shape)
+        # insert at the module path, replacing the terminal 'q' with 'w'
+        cursor = out
+        for k in path[:-1]:
+            cursor = cursor.setdefault(k, {})
+        cursor["w"] = codes
+    return out
 
 
 def aggregate(task: str, outs, samples: int):
@@ -70,16 +148,17 @@ def aggregate(task: str, outs, samples: int):
 
 
 def make_mc_eval(model, cfg: Config, mode: str, samples: Optional[int] = None,
-                 ensemble: bool = False):
+                 ensemble: bool = False, plan=None):
     """Jitted batch evaluator: (variables, metric_state, x, y, key) ->
-    (metric_state, aggregated_output)."""
+    (metric_state, aggregated_output). `plan` (from presample_plan) enables
+    the fused bulk weight draw on the INT path."""
     samples = cfg.samples if samples is None else samples
     task = cfg.task
 
     @jax.jit
     def step(variables, metric_state, x, y, key):
         outs = mc_predict(model, variables, x, key, samples=samples,
-                          mode=mode, ensemble=ensemble)
+                          mode=mode, ensemble=ensemble, plan=plan)
         agg = aggregate(task, outs, samples)
         if task == "classification":
             metric_state = M.cls_metrics_update(metric_state, agg, y)
@@ -102,7 +181,10 @@ def evaluate_with_loader(loader, model, variables, cfg: Config, mode: str,
     (reference: experiments/utils.py:330-377) plus a throughput figure.
     """
     samples = cfg.samples if samples is None else samples
-    step = make_mc_eval(model, cfg, mode, samples, ensemble)
+    plan = None
+    if mode == "int" and not ensemble and samples > 1:
+        plan = presample_plan(variables)
+    step = make_mc_eval(model, cfg, mode, samples, ensemble, plan=plan)
     metric_state = (M.cls_metrics_init() if cfg.task == "classification"
                     else M.reg_metrics_init())
     outputs, targets = [], []

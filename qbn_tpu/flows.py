@@ -88,6 +88,9 @@ def setup_experiment(cfg: Config, label: str = "") -> Config:
         pass
 
     save_results(init_results(cfg), save)
+    if cfg.debug_nans:
+        from qbn_tpu.profiling import enable_nan_debugging
+        enable_nan_debugging()
     log.info("Experiment dir: %s", save)
     log.info("Config: %s", dataclasses.asdict(cfg))
     return cfg
@@ -110,8 +113,9 @@ def _fit(cfg: Config, mode: str, split: int = -1,
     trainer = Trainer(model, cfg, tx, mode, train_loader, valid_loader,
                       writer=writer)
     state = trainer.init_state(variables, jax.random.PRNGKey(cfg.seed + 1))
-    t0 = time.time()
-    state, best = trainer.train_loop(state, special_info=special_info)
+    from qbn_tpu.profiling import trace
+    with trace(os.path.join(cfg.save, "profile"), enabled=cfg.profile):
+        state, best = trainer.train_loop(state, special_info=special_info)
     log.info("finished training%s: best val %.4f (train %.1fs, val %.1fs)",
              special_info, best, trainer.train_time, trainer.val_time)
     return model, trainer, state

@@ -207,7 +207,10 @@ class DenseBlock(nn.Module, QuantOps):
                     "mul_scale": "scalar_f", "mul_zp": "scalar_i",
                     "add_scale": "scalar_f", "add_zp": "scalar_i",
                     "act_scale": "scalar_f", "act_zp": "scalar_i",
-                }))
+                }) | {"is_stoch": jnp.asarray(int(self.stochastic),
+                                              jnp.int32),
+                      "w_lo": jnp.asarray(q.w_bounds[0], jnp.int32),
+                      "w_hi": jnp.asarray(q.w_bounds[1], jnp.int32)})
 
         if mode == "int":
             return self._int_forward(x, qc.value, bias)
@@ -284,11 +287,16 @@ class DenseBlock(nn.Module, QuantOps):
     def _int_forward(self, x: QTensor, qc, bias):
         q = self.quant
         wb, ab = q.w_bounds, q.a_bounds
-        w_codes = qc["w_codes"].astype(jnp.int32)
-        w_scale, w_zp = qc["w_scale"], qc["w_zp"]
-        if self.stochastic:
+        presampled = self.get_variable("sampled", "w", None)
+        if self.stochastic and presampled is not None:
+            # weights for this MC sample were drawn up-front (one fused
+            # Pallas kernel over all samples, see evaluation.mc.presample)
+            w_codes = presampled.astype(jnp.int32)
+            w_scale, w_zp = qc["add_scale"], qc["add_zp"]
+        elif self.stochastic:
             # fp32 noise quantised at the fixed 3/127 scale, multiplied and
             # added in the integer domain (reference: linear_q.py:82-94).
+            w_codes = qc["w_codes"].astype(jnp.int32)
             noise = jax.random.normal(self.make_rng("noise"),
                                       w_codes.shape, jnp.float32)
             eps_q = quantize(noise, NOISE_SCALE, NOISE_ZERO_POINT,
@@ -298,10 +306,14 @@ class DenseBlock(nn.Module, QuantOps):
                 qc["std_zp"], eps_q, NOISE_SCALE, NOISE_ZERO_POINT,
                 qc["mul_scale"], qc["mul_zp"], -128, 127, dtype=jnp.int32)
             w_codes = quantized_add(
-                w_codes, w_scale, w_zp, prod, qc["mul_scale"], qc["mul_zp"],
-                qc["add_scale"], qc["add_zp"], -128, 127, dtype=jnp.int32)
+                w_codes, qc["w_scale"], qc["w_zp"], prod, qc["mul_scale"],
+                qc["mul_zp"], qc["add_scale"], qc["add_zp"], -128, 127,
+                dtype=jnp.int32)
             w_codes = jnp.clip(w_codes, wb[0], wb[1])  # clamp_weight
             w_scale, w_zp = qc["add_scale"], qc["add_zp"]
+        else:
+            w_codes = qc["w_codes"].astype(jnp.int32)
+            w_scale, w_zp = qc["w_scale"], qc["w_zp"]
         codes = int_dense(
             x.codes, x.scale, x.zp, w_codes, w_scale, w_zp, bias,
             qc["act_scale"], qc["act_zp"], ab[0], ab[1], relu=self.relu)
@@ -378,7 +390,11 @@ class ConvBlock(nn.Module, QuantOps):
                     "mul_scale": "scalar_f", "mul_zp": "scalar_i",
                     "add_scale": "scalar_f", "add_zp": "scalar_i",
                     "act_scale": "scalar_f", "act_zp": "scalar_i",
-                }) | {"bias_f": jnp.zeros((self.features,), jnp.float32)})
+                }) | {"bias_f": jnp.zeros((self.features,), jnp.float32),
+                      "is_stoch": jnp.asarray(int(self.stochastic),
+                                              jnp.int32),
+                      "w_lo": jnp.asarray(q.w_bounds[0], jnp.int32),
+                      "w_hi": jnp.asarray(q.w_bounds[1], jnp.int32)})
 
         if mode == "int":
             return self._int_forward(x, qc.value)
@@ -505,9 +521,12 @@ class ConvBlock(nn.Module, QuantOps):
     def _int_forward(self, x: QTensor, qc):
         q = self.quant
         wb, ab = q.w_bounds, q.a_bounds
-        w_codes = qc["w_codes"].astype(jnp.int32)
-        w_scale, w_zp = qc["w_scale"], qc["w_zp"]
-        if self.stochastic:
+        presampled = self.get_variable("sampled", "w", None)
+        if self.stochastic and presampled is not None:
+            w_codes = presampled.astype(jnp.int32)
+            w_scale, w_zp = qc["add_scale"], qc["add_zp"]
+        elif self.stochastic:
+            w_codes = qc["w_codes"].astype(jnp.int32)
             noise = jax.random.normal(self.make_rng("noise"),
                                       w_codes.shape, jnp.float32)
             eps_q = quantize(noise, NOISE_SCALE, NOISE_ZERO_POINT,
@@ -517,10 +536,14 @@ class ConvBlock(nn.Module, QuantOps):
                 qc["std_zp"], eps_q, NOISE_SCALE, NOISE_ZERO_POINT,
                 qc["mul_scale"], qc["mul_zp"], -128, 127, dtype=jnp.int32)
             w_codes = quantized_add(
-                w_codes, w_scale, w_zp, prod, qc["mul_scale"], qc["mul_zp"],
-                qc["add_scale"], qc["add_zp"], -128, 127, dtype=jnp.int32)
+                w_codes, qc["w_scale"], qc["w_zp"], prod, qc["mul_scale"],
+                qc["mul_zp"], qc["add_scale"], qc["add_zp"], -128, 127,
+                dtype=jnp.int32)
             w_codes = jnp.clip(w_codes, wb[0], wb[1])
             w_scale, w_zp = qc["add_scale"], qc["add_zp"]
+        else:
+            w_codes = qc["w_codes"].astype(jnp.int32)
+            w_scale, w_zp = qc["w_scale"], qc["w_zp"]
         codes = int_conv(
             x.codes, x.scale, x.zp, w_codes, w_scale, w_zp, qc["bias_f"],
             qc["act_scale"], qc["act_zp"], self.strides,
