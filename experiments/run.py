@@ -63,6 +63,9 @@ def main(argv=None):
             overrides[f.name] = int(v)
         elif isinstance(f.default, float):
             overrides[f.name] = float(v)
+        elif isinstance(f.default, tuple):
+            overrides[f.name] = tuple(
+                int(p) for p in str(v).replace(",", " ").split())
         else:
             overrides[f.name] = v
     cfg = preset(args.method, args.tier, args.phase, **overrides)

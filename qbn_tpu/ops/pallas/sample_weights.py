@@ -25,16 +25,24 @@ from qbn_tpu.quant.bounds import NOISE_SCALE
 _TWO_PI = 6.283185307179586
 
 
-def _uniform01(bits):
-    """uint32 random bits -> uniform floats in (0, 1)."""
-    return bits.astype(jnp.float32) * (1.0 / 4294967296.0) + (
-        1.0 / 8589934592.0)
+def _uniform12(bits):
+    """uint32 random bits -> uniform floats in [1, 2).
+
+    Mosaic has no uint32->float32 convert, so stuff 23 random bits into a
+    float mantissa with exponent 0 and bitcast.
+    """
+    mant = (bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
+    return pltpu.bitcast(mant, jnp.float32)
 
 
 def _standard_normal(shape):
     """Box-Muller standard normals from the on-chip PRNG."""
-    u1 = _uniform01(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
-    u2 = _uniform01(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+    f1 = _uniform12(pltpu.bitcast(pltpu.prng_random_bits(shape),
+                                  jnp.uint32))
+    f2 = _uniform12(pltpu.bitcast(pltpu.prng_random_bits(shape),
+                                  jnp.uint32))
+    u1 = 2.0 - f1          # (0, 1] — safe under log
+    u2 = f2 - 1.0          # [0, 1)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(_TWO_PI * u2)
 
