@@ -1,0 +1,67 @@
+"""Odds and ends: factory facade, profiling helpers, writer, presentation."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qbn_tpu.config import Config
+from qbn_tpu.models.factory import ModelFactory, build_model
+from qbn_tpu.profiling import PhaseTimer, model_size_bytes
+from qbn_tpu.evaluation.writer import ScalarWriter
+from qbn_tpu.evaluation.presentation import (
+    plot_distortion_grid, plot_bitwidth_lines,
+)
+from qbn_tpu.utils import init_variables
+
+
+def test_model_factory_facade():
+    cfg = Config()
+    model = ModelFactory.get_model("conv_lenet_bbb", (28, 28, 1), 10,
+                                   False, cfg)
+    x = jnp.ones((2, 28, 28, 1))
+    v = init_variables(model, jax.random.PRNGKey(0), x)
+    assert "conv_0" in v["params"]
+
+
+def test_phase_timer_and_model_size():
+    t = PhaseTimer()
+    with t.phase("train"):
+        pass
+    with t.phase("train"):
+        pass
+    assert "train" in t.report() and t.report()["train"] >= 0
+    cfg = Config(model="linear", task="regression")
+    model = build_model(cfg)
+    v = init_variables(model, jax.random.PRNGKey(0), jnp.ones((2, 1)))
+    size = model_size_bytes(v)
+    # 3x(100x100) + 1x100 + 2 heads ~ 21k params * 4B
+    assert 50_000 < size < 500_000
+
+
+def test_scalar_writer(tmp_path):
+    w = ScalarWriter(str(tmp_path))
+    w.scalar("train/obj", 1.5, 0)
+    w.scalar("train/obj", 1.2, 1)
+    w.close()
+    lines = [json.loads(l) for l in open(w.path)]
+    assert lines[1]["value"] == 1.2 and lines[1]["step"] == 1
+
+
+def test_presentation_plots(tmp_path):
+    res = {"error": {"rotation": {str(l): [0.1 * l, 0.01]
+                                  for l in range(5)},
+                     "shift": {str(l): [0.2 * l, 0.01] for l in range(5)},
+                     "brightness": {str(l): [0.05 * l, 0.0]
+                                    for l in range(5)},
+                     "test": [0.08, 0.01]}}
+    p1 = os.path.join(tmp_path, "grid.png")
+    plot_distortion_grid({"bbb": res, "pointwise": res}, "error", p1)
+    assert os.path.exists(p1)
+    p2 = os.path.join(tmp_path, "bits.png")
+    plot_bitwidth_lines({"bbb": res},
+                        {"bbb": {"a_7_w_8": res, "a_7_w_4": res}},
+                        "error", "test", p2)
+    assert os.path.exists(p2)
