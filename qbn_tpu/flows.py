@@ -204,12 +204,23 @@ def run_qat_classification(cfg: Config, load_dir: str) -> None:
 def run_qat_regression(cfg: Config, load_dir: str, datasets=None) -> None:
     writer = ScalarWriter(cfg.save)
     datasets = datasets if datasets is not None else REGRESSION_DATASETS
+    ensemble = cfg.method == "sgld"
     for dataset, n_folds in datasets:
         for fold in range(n_folds):
             fcfg = cfg.replace(dataset=f"regression_{dataset}")
-            info = f"_{dataset}_{fold}"
-            _qat_one(fcfg, checkpoint_path(load_dir, info), split=fold,
-                     special_info=info, writer=writer)
+            if ensemble:
+                # fine-tune + convert each posterior snapshot of this fold
+                # (reference: sgld/quantised/train/*_regression flow)
+                snaps = list_snapshots(load_dir, f"{dataset}_{fold}_")
+                for p in snaps[-cfg.samples:]:
+                    info = "_" + os.path.basename(p).split(
+                        "weights_")[1].split(".msgpack")[0]
+                    _qat_one(fcfg, p, split=fold, special_info=info,
+                             writer=writer)
+            else:
+                info = f"_{dataset}_{fold}"
+                _qat_one(fcfg, checkpoint_path(load_dir, info), split=fold,
+                         special_info=info, writer=writer)
             if cfg.debug:
                 break
     evaluate_regression_uncertainty(cfg, mode="int", datasets=datasets)
