@@ -1,0 +1,42 @@
+"""Sweep driver grid logic (run invocations monkeypatched out)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+from experiments import sweep, average_results  # noqa: E402
+
+
+def test_quant_grid_cells(monkeypatch, tmp_path):
+    calls = []
+    monkeypatch.setattr(sweep, "run_main", lambda argv: calls.append(argv))
+    sweep.main(["quant", "--methods", "bbb", "--tiers", "cifar",
+                "--load", "floatdir", "--out", str(tmp_path)])
+    # w in {8..3} at a=7, then a in {6..3} at w=8 — 10 cells
+    assert len(calls) == 10
+    pairs = []
+    for argv in calls:
+        a = argv[argv.index("--activation_precision") + 1]
+        w = argv[argv.index("--weight_precision") + 1]
+        pairs.append((int(a), int(w)))
+        assert argv[argv.index("--load") + 1] == "floatdir"
+    assert pairs == [(7, 8), (7, 7), (7, 6), (7, 5), (7, 4), (7, 3),
+                     (6, 8), (5, 8), (4, 8), (3, 8)]
+
+
+def test_float_grid_seeds_and_average(monkeypatch, tmp_path):
+    calls = []
+    monkeypatch.setattr(sweep, "run_main", lambda argv: calls.append(argv))
+    averaged = []
+    monkeypatch.setattr(sweep.average_results, "main",
+                        lambda argv: averaged.append(argv))
+    sweep.main(["float", "--methods", "pointwise", "--tiers", "mnist",
+                "--seeds", "1", "2", "3", "--out", str(tmp_path)])
+    assert len(calls) == 3
+    seeds = [argv[argv.index("--seed") + 1] for argv in calls]
+    assert seeds == ["1", "2", "3"]
+    assert len(averaged) == 1 and "--save" in averaged[0]
