@@ -34,7 +34,9 @@ from qbn_tpu.evaluation.results import load_results, save_results, \
     init_results
 from qbn_tpu.evaluation.ensemble import load_ensemble
 from qbn_tpu.models.factory import build_model
-from qbn_tpu.training.checkpoint import load_variables, checkpoint_path
+from qbn_tpu.training.checkpoint import (
+    load_variables, checkpoint_path, model_size_mb,
+)
 from qbn_tpu.utils import init_variables
 
 log = logging.getLogger(__name__)
@@ -68,7 +70,8 @@ def evaluate_and_record(model, variables, cfg: Config, mode: str, results,
         if loader is None:
             continue
         error, ece, entropy, nll, o, t, sps = evaluate_with_loader(
-            loader, model, variables, cfg, mode, ensemble=ensemble)
+            loader, model, variables, cfg, mode, ensemble=ensemble,
+            salt=split)
         log.info("## %s error=%.4f ece=%.4f entropy=%.4f nll=%.4f "
                  "(%.0f MC-samples/s) ##", split, error, ece, entropy, nll,
                  sps)
@@ -85,6 +88,7 @@ def evaluate_classification_uncertainty(model, variables, cfg: Config,
     (reference: experiments/utils.py:24-132)."""
     base_dataset = cfg.dataset
     results = load_results(cfg.save) or init_results(cfg)
+    results["model_size"] = model_size_mb(variables)
     out, tgt = evaluate_and_record(model, variables, cfg, mode, results,
                                    ensemble)
     if out is not None:
@@ -96,7 +100,8 @@ def evaluate_classification_uncertainty(model, variables, cfg: Config,
     ood_cfg = cfg.replace(dataset="random_" + base_dataset)
     ood_loader = get_test_loader(ood_cfg)
     error, ece, entropy, nll, out, tgt, sps = evaluate_with_loader(
-        ood_loader, model, variables, cfg, mode, ensemble=ensemble)
+        ood_loader, model, variables, cfg, mode, ensemble=ensemble,
+        salt="random")
     log.info("## random error=%.4f ece=%.4f entropy=%.4f nll=%.4f ##",
              error, ece, entropy, nll)
     _record(results, "random", error, ece, entropy, nll, sps)
@@ -110,7 +115,7 @@ def evaluate_classification_uncertainty(model, variables, cfg: Config,
             loader = get_test_loader(cfg, distortion, level)
             error, ece, entropy, nll, _, _, _ = evaluate_with_loader(
                 loader, model, variables, cfg, mode, ensemble=ensemble,
-                collect_outputs=False)
+                collect_outputs=False, salt=f"{distortion}{level}")
             log.info("## %s level %d: error=%.4f ece=%.4f entropy=%.4f "
                      "nll=%.4f ##", distortion, level + 1, error, ece,
                      entropy, nll)
@@ -153,6 +158,7 @@ def evaluate_regression_uncertainty(cfg: Config, mode: str,
             else:
                 variables = load_variables(
                     variables, checkpoint_path(cfg.save, info))
+            results["model_size"] = model_size_mb(variables)
             for split, loader in (("train", train_loader),
                                   ("valid", val_loader),
                                   ("test", test_loader)):
@@ -160,7 +166,8 @@ def evaluate_regression_uncertainty(cfg: Config, mode: str,
                     continue
                 error, _, _, nll, _, _, _ = evaluate_with_loader(
                     loader, model, variables, fcfg, mode, ensemble=ensemble,
-                    collect_outputs=False, seed=fold)
+                    collect_outputs=False, seed=fold,
+                    salt=f"{name}_{split}")
                 per_split[split]["rmse"].append(error)
                 per_split[split]["nll"].append(nll)
             if cfg.debug:

@@ -16,6 +16,7 @@ Predictive aggregation matches the reference exactly:
 from __future__ import annotations
 
 import time
+import zlib
 from functools import partial
 from typing import Any, Optional, Tuple
 
@@ -173,12 +174,16 @@ def make_mc_eval(model, cfg: Config, mode: str, samples: Optional[int] = None,
 def evaluate_with_loader(loader, model, variables, cfg: Config, mode: str,
                          samples: Optional[int] = None,
                          ensemble: bool = False, seed: int = 0,
-                         collect_outputs: bool = True):
+                         collect_outputs: bool = True, salt: str = ""):
     """Full-loader MC evaluation.
 
     Returns (error, ece, entropy, nll, outputs, targets, samples_per_sec)
     mirroring the reference's _evaluate_with_loader contract
     (reference: experiments/utils.py:330-377) plus a throughput figure.
+
+    `salt` names the split being evaluated (e.g. "test", "random",
+    "rotation3") so posterior-sample noise is independent across splits;
+    without it, batch i of every split would draw identical keys.
     """
     samples = cfg.samples if samples is None else samples
     plan = None
@@ -189,10 +194,12 @@ def evaluate_with_loader(loader, model, variables, cfg: Config, mode: str,
                     else M.reg_metrics_init())
     outputs, targets = [], []
     n_examples = 0
+    base_key = jax.random.fold_in(
+        jax.random.PRNGKey(cfg.seed + 1234),
+        zlib.crc32(salt.encode()) & 0x7FFFFFFF)
     t0 = time.time()
     for i, (x, y) in enumerate(loader):
-        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1234),
-                                 seed * 1000003 + i)
+        key = jax.random.fold_in(base_key, seed * 1000003 + i)
         metric_state, agg = step(variables, metric_state, jnp.asarray(x),
                                  jnp.asarray(y), key)
         n_examples += len(y)

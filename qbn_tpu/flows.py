@@ -58,9 +58,11 @@ REGRESSION_DATASETS = [("synthetic", 1), ("housing", 10), ("concrete", 10),
 def setup_experiment(cfg: Config, label: str = "") -> Config:
     """Create the run directory, wire logging, init the results store."""
     if not label:
+        # reference: src/utils.py:155-161 — q='not_q'; if args.q: q='q';
+        # if args.at: q+='at'  =>  {not_q, q, qat, not_qat}
         label = "q" if cfg.q else "not_q"
         if cfg.at:
-            label = "qat" if not cfg.q else "qat"
+            label += "at"
     stamp = time.strftime("%Y%m%d-%H%M%S")
     save = f"{label}-{cfg.dataset}-{cfg.task}-{stamp}"
     if cfg.save not in ("EXP", "", None):

@@ -33,6 +33,14 @@ def save_variables(variables, path: str) -> None:
         fh.write(serialization.msgpack_serialize(state))
 
 
+def model_size_mb(variables) -> float:
+    """Serialized model size in MB (reference: size_of_model,
+    src/utils.py:63-67 — file size of the saved state dict)."""
+    state = serialization.to_state_dict(variables)
+    state = jax.tree.map(np.asarray, state)
+    return len(serialization.msgpack_serialize(state)) / 1e6
+
+
 def _merge(target, restored):
     """Recursively take restored values where keys and shapes line up."""
     if isinstance(target, dict):

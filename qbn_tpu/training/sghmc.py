@@ -92,11 +92,15 @@ def sghmc(
 
         leaves, treedef = jax.tree.flatten(params)
         n_leaves = len(leaves)
-        rng, *keys = jax.random.split(state.rng, 2 * n_leaves + 1)
+        # One split issues every key for this update plus the carried rng.
+        # (jax.random.split(k, n)[i] does not depend on n, so deriving the
+        # prior keys from a second split of the carried key would make them
+        # bit-identical to the next step's momentum keys.)
+        rng, *keys = jax.random.split(state.rng, 3 * n_leaves + 1)
         mom_keys = jax.tree.unflatten(treedef, keys[:n_leaves])
-        noise_keys = jax.tree.unflatten(treedef, keys[n_leaves:])
-        prior_keys = jax.tree.unflatten(
-            treedef, jax.random.split(rng, n_leaves + 1)[1:])
+        noise_keys = jax.tree.unflatten(treedef,
+                                        keys[n_leaves:2 * n_leaves])
+        prior_keys = jax.tree.unflatten(treedef, keys[2 * n_leaves:])
 
         def leaf(p, grad, tau, g, v_hat, mom, wd, km, kn, kp):
             # prior precision resample: Gamma(alpha0 + n/2, beta) / beta

@@ -70,6 +70,50 @@ def test_sghmc_prior_resample_changes_weight_decay():
     assert 0.1 < wd1 < 5.0
 
 
+def test_sghmc_no_key_reuse_across_updates(monkeypatch):
+    """Regression: every PRNG key consumed by two consecutive updates must
+    be distinct. Round 1 derived prior keys from a second split of the
+    carried rng, making step-t prior keys == step-(t+1) momentum keys."""
+    seen = []
+    real_normal, real_gamma = jax.random.normal, jax.random.gamma
+
+    def rec_normal(key, *a, **k):
+        seen.append(tuple(np.asarray(jax.random.key_data(key)).ravel()))
+        return real_normal(key, *a, **k)
+
+    def rec_gamma(key, *a, **k):
+        seen.append(tuple(np.asarray(jax.random.key_data(key)).ravel()))
+        return real_gamma(key, *a, **k)
+
+    monkeypatch.setattr(jax.random, "normal", rec_normal)
+    monkeypatch.setattr(jax.random, "gamma", rec_gamma)
+
+    tx = sghmc(learning_rate=0.01, burnin_steps=10,
+               resample_momentum_every=1, resample_prior_every=1)
+    params = {"w": jnp.ones((8,)), "b": jnp.ones((3,)),
+              "c": jnp.ones((2, 2))}
+    grads = jax.tree.map(jnp.zeros_like, params)
+    state = tx.init(params)
+    _, state = tx.update(grads, state, params)
+    _, state = tx.update(grads, state, params)
+    # 3 leaves x 3 draws (mom, noise, prior) x 2 updates = 18 unique keys
+    assert len(seen) == 18
+    assert len(set(seen)) == 18, "PRNG key issued twice across updates"
+
+
+def test_eval_keys_differ_across_splits():
+    """Regression: evaluate_with_loader must not issue identical per-batch
+    keys for different splits (round 1: train/valid/test all used salt 0)."""
+    import zlib
+    base = jax.random.PRNGKey(1 + 1234)
+    keys = {}
+    for salt in ("train", "valid", "test", "random", "rotation0"):
+        k = jax.random.fold_in(base, zlib.crc32(salt.encode()) & 0x7FFFFFFF)
+        keys[salt] = tuple(np.asarray(
+            jax.random.key_data(jax.random.fold_in(k, 0))).ravel())
+    assert len(set(keys.values())) == len(keys)
+
+
 def test_adaptive_clip_threshold_moves():
     tx = clip_by_adaptive_global_norm(window=8, std_mul=2.0)
     grads = {"w": jnp.ones((4,))}
