@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Build the accuracy-parity table (docs/PARITY.md) from reference
+results.pickle files and qbn_tpu results.json files.
+
+Usage:
+  python parity/compare.py --pairs \
+      pointwise:float:<ref-exp-dir>:<ours-exp-dir> \
+      bbb:qat:<ref-exp-dir>:<ours-exp-dir> ... \
+      --out docs/PARITY.md
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+
+METRICS = ("error", "ece", "nll", "entropy")
+SPLITS = ("test", "random")
+
+
+def load_ref(exp_dir: str):
+    with open(os.path.join(exp_dir, "results.pickle"), "rb") as fh:
+        return pickle.load(fh)
+
+
+def load_ours(exp_dir: str):
+    with open(os.path.join(exp_dir, "results.json")) as fh:
+        return json.load(fh)
+
+
+def fmt(v):
+    return f"{v:.4f}" if isinstance(v, (int, float)) else "—"
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("parity table builder")
+    p.add_argument("--pairs", nargs="+", required=True,
+                   help="method:phase:ref_dir:ours_dir")
+    p.add_argument("--out", default="docs/PARITY.md")
+    p.add_argument("--preamble", default="")
+    args = p.parse_args(argv)
+
+    lines = []
+    worst = {}
+    for pair in args.pairs:
+        method, phase, ref_dir, ours_dir = pair.split(":")
+        ref, ours = load_ref(ref_dir), load_ours(ours_dir)
+        for split in SPLITS:
+            for metric in METRICS:
+                rv = ref.get(metric, {}).get(split)
+                ov = ours.get(metric, {}).get(split)
+                delta = (ov - rv) if isinstance(rv, (int, float)) and \
+                    isinstance(ov, (int, float)) else None
+                lines.append(
+                    f"| {method} | {phase} | {split} | {metric} "
+                    f"| {fmt(rv)} | {fmt(ov)} "
+                    f"| {fmt(delta) if delta is not None else '—'} |")
+                if delta is not None and metric in ("error", "ece"):
+                    key = (metric,)
+                    worst[key] = max(worst.get(key, 0.0), abs(delta))
+
+    table = ["| method | phase | split | metric | reference (torch/CPU) "
+             "| qbn_tpu | delta (ours − ref) |",
+             "|---|---|---|---|---|---|---|"] + lines
+
+    hdr = ["# Accuracy/ECE parity: qbn_tpu vs the torch reference", ""]
+    if args.preamble:
+        hdr += [args.preamble, ""]
+    summary = []
+    for (metric,), v in sorted(worst.items()):
+        summary.append(f"- worst |delta {metric}| over all cells: "
+                       f"**{v:.4f}**")
+    out = "\n".join(hdr + table + [""] + summary) + "\n"
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as fh:
+        fh.write(out)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

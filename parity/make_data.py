@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""Generate the shared parity dataset: a learnable synthetic MNIST-shaped
+dataset (plus a FashionMNIST-shaped OOD set from a different seed) written
+as real idx files, so the torch reference (via the torchvision shim) and
+qbn_tpu (via its idx readers) train and evaluate on IDENTICAL bytes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from qbn_tpu.data.synth import make_synth_images  # noqa: E402
+from qbn_tpu.data.writers import write_mnist_dir  # noqa: E402
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("parity dataset generator")
+    p.add_argument("--out", required=True)
+    p.add_argument("--n_train", type=int, default=10000)
+    p.add_argument("--n_test", type=int, default=2000)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    x_tr, y_tr = make_synth_images(args.n_train, (28, 28, 1), 10,
+                                   args.seed * 2 + 1)
+    x_te, y_te = make_synth_images(args.n_test, (28, 28, 1), 10,
+                                   args.seed * 2 + 2)
+    write_mnist_dir(args.out, x_tr, y_tr, x_te, y_te, prefix="MNIST")
+
+    # OOD stand-in ("random_mnist" = FashionMNIST in the reference):
+    # same generator family, disjoint seed -> different prototypes
+    xo_tr, yo_tr = make_synth_images(512, (28, 28, 1), 10, 7777)
+    xo_te, yo_te = make_synth_images(args.n_test, (28, 28, 1), 10, 8888)
+    write_mnist_dir(args.out, xo_tr, yo_tr, xo_te, yo_te,
+                    prefix="FashionMNIST")
+    print(f"[parity] wrote dataset to {args.out} "
+          f"(train {args.n_train}, test {args.n_test})")
+
+
+if __name__ == "__main__":
+    main()

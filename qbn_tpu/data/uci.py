@@ -56,8 +56,9 @@ def _load_file(data_dir: str, name: str):
             continue
         if kind == "whitespace":
             import pandas as pd
-            # header row consumed like the reference (header=0 / header=1)
-            skip = 1 if name == "yacht" else 1
+            # header-row consumption like the reference: housing header=0
+            # (1 row consumed), yacht header=1 (2 rows consumed)
+            skip = 2 if name == "yacht" else 1
             return pd.read_csv(path, header=None, skiprows=skip,
                                delimiter=r"\s+").values.astype(np.float64)
         if kind == "semicolon":

@@ -53,7 +53,15 @@ def cls_metrics_update(state, probs, target):
     logp = jnp.log(probs + 1e-8)
 
     conf = jnp.max(probs, axis=1)
-    bin_idx = jnp.clip((conf * n_bins).astype(jnp.int32), 0, n_bins - 1)
+    # torchmetrics CalibrationError binning (the reference's ECE,
+    # src/metrics.py:381-383): bucketize(conf, linspace(0,1,n+1),
+    # right=True) - 1, clamped — a confidence exactly on a (float32)
+    # boundary lands in the UPPER bin; conf == 1.0 lands in the top bin.
+    boundaries = jnp.linspace(0.0, 1.0, n_bins + 1, dtype=jnp.float32)
+    bin_idx = jnp.clip(
+        jnp.sum(conf[:, None] >= boundaries[None, 1:],
+                axis=1).astype(jnp.int32),
+        0, n_bins - 1)
 
     return {
         "errors": state["errors"] + jnp.sum(1.0 - correct),

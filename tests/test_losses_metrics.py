@@ -99,7 +99,10 @@ def test_cls_metrics_match_torch_reference_formulas():
     except Exception:
         conf = p.max(1)
         correct = (p.argmax(1) == t).astype(np.float32)
-        bins = np.clip((conf * 10).astype(int), 0, 9)
+        # torchmetrics binning: bucketize(conf, boundaries, right=True)-1
+        boundaries = np.linspace(0.0, 1.0, 11, dtype=np.float32)
+        bins = np.clip(
+            np.searchsorted(boundaries, conf, side="right") - 1, 0, 9)
         expected = 0.0
         for b in range(10):
             m = bins == b
@@ -107,6 +110,49 @@ def test_cls_metrics_match_torch_reference_formulas():
                 expected += abs(correct[m].mean() - conf[m].mean()) * m.sum()
         expected /= n
     assert np.isclose(out["ece"], expected, atol=1e-5)
+
+
+def test_ece_boundary_confidence_hand_computed():
+    """Pin the bin-edge semantics with hand-computed values: a confidence
+    exactly on a (float32) bin boundary goes to the UPPER bin, as in
+    torchmetrics' bucketize(..., right=True) (the reference ECE,
+    src/metrics.py:381-383). Chosen so upper-vs-lower binning changes the
+    GROUPING and therefore the ECE value: under floor/lower-bin semantics
+    the float32 0.7 confidences would share a bin with the 0.62 one and
+    the answer would be ~0.104 instead."""
+    c7 = np.float32(0.7)    # 0.69999998807... < 0.7 — the adversarial case
+    c62 = np.float32(0.62)
+    rows, targets = [], []
+
+    def row(conf, cls):
+        r = np.full(10, (1.0 - float(conf)) / 9.0, np.float32)
+        r[cls] = conf
+        return r
+
+    rows = np.stack([
+        row(c7, 0),    # bin 7 (upper), correct
+        row(c7, 0),    # bin 7, incorrect
+        row(c62, 0),   # bin 6, correct
+        row(np.float32(0.5), 0),   # exactly 0.5 -> bin 5, correct
+        row(np.float32(1.0) - 0.0, 0),  # conf 1.0 -> clamps to bin 9
+    ])
+    rows[4] = 0.0
+    rows[4, 0] = 1.0
+    targets = np.array([0, 1, 0, 0, 0])
+
+    state = cls_metrics_init()
+    state = cls_metrics_update(state, jnp.asarray(rows),
+                               jnp.asarray(targets))
+    ece = float(cls_metrics_compute(state)["ece"])
+    # hand computation (5 samples):
+    #   bin 7: {c7 correct, c7 wrong}: |0.5 - 0.69999998807| * 2/5
+    #   bin 6: {c62 correct}:          |1.0 - 0.62000000477| * 1/5
+    #   bin 5: {0.5 correct}:          |1.0 - 0.5|           * 1/5
+    #   bin 9: {1.0 correct}:          0
+    expected = (abs(0.5 - 0.699999988079071) * 2
+                + abs(1.0 - 0.620000004768372)
+                + 0.5) / 5.0            # = 0.2559999943...
+    assert abs(ece - expected) < 1e-6, (ece, expected)
 
 
 def test_reg_metrics_hand_computed():
