@@ -13,7 +13,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from qbn_tpu.data.synth import make_synth_images  # noqa: E402
+from qbn_tpu.data.synth import make_synth_images, make_synth_mnist  # noqa: E402
 from qbn_tpu.data.writers import write_mnist_dir  # noqa: E402
 
 
@@ -25,16 +25,16 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    x_tr, y_tr = make_synth_images(args.n_train, (28, 28, 1), 10,
-                                   args.seed * 2 + 1)
-    x_te, y_te = make_synth_images(args.n_test, (28, 28, 1), 10,
-                                   args.seed * 2 + 2)
+    x_tr, y_tr, x_te, y_te = make_synth_mnist(args.n_train, args.n_test,
+                                              args.seed)
     write_mnist_dir(args.out, x_tr, y_tr, x_te, y_te, prefix="MNIST")
 
     # OOD stand-in ("random_mnist" = FashionMNIST in the reference):
-    # same generator family, disjoint seed -> different prototypes
-    xo_tr, yo_tr = make_synth_images(512, (28, 28, 1), 10, 7777)
-    xo_te, yo_te = make_synth_images(args.n_test, (28, 28, 1), 10, 8888)
+    # same generator family, disjoint prototypes
+    xo_tr, yo_tr = make_synth_images(512, (28, 28, 1), 10, 7777,
+                                     proto_seed=9999)
+    xo_te, yo_te = make_synth_images(args.n_test, (28, 28, 1), 10, 8888,
+                                     proto_seed=9999)
     write_mnist_dir(args.out, xo_tr, yo_tr, xo_te, yo_te,
                     prefix="FashionMNIST")
     print(f"[parity] wrote dataset to {args.out} "

@@ -67,9 +67,10 @@ class Config:
     save_last: bool = True
     report_freq: int = 50
 
-    # Parallelism (TPU additions; no reference equivalent)
-    mesh_shape: Optional[Tuple[int, ...]] = None   # None = all devices on 'data'
+    # Parallelism / TPU kernels (TPU additions; no reference equivalent)
+    mesh_shape: Optional[Tuple[int, ...]] = None   # None = single-device
     mc_parallel: int = 1                  # MC-sample axis sharding factor
+    tpu_fused: bool = False               # fused Pallas local-reparam dense
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -23,18 +23,24 @@ def _smooth(field: np.ndarray, sigma: float) -> np.ndarray:
 
 def make_synth_images(n: int, shape: Tuple[int, int, int], classes: int,
                       seed: int, max_shift: int = 3,
-                      noise_sigma: float = 25.0
+                      noise_sigma: float = 25.0, proto_seed: int = None
                       ) -> Tuple[np.ndarray, np.ndarray]:
     """Deterministic learnable dataset: (uint8 images NHWC, int64 labels).
 
     Every class is a smoothed random prototype in [0, 255]; each example is
     the prototype randomly translated (wrap-around), scaled in intensity,
-    and corrupted with Gaussian pixel noise.
+    and corrupted with Gaussian pixel noise. The prototypes depend ONLY on
+    `proto_seed` (default: seed), so train/test splits built with different
+    `seed` but the same `proto_seed` share classes — essential for a
+    learnable generalisation task.
     """
     h, w, c = shape
+    if proto_seed is None:
+        proto_seed = seed
+    prng = np.random.RandomState(proto_seed)
     rng = np.random.RandomState(seed)
     protos = np.stack([
-        _smooth(rng.rand(h, w, c).astype(np.float32), sigma=3.0)
+        _smooth(prng.rand(h, w, c).astype(np.float32), sigma=3.0)
         for _ in range(classes)
     ])
     # normalise each prototype to full [0, 255] range
@@ -61,16 +67,22 @@ def make_synth_images(n: int, shape: Tuple[int, int, int], classes: int,
 def make_synth_mnist(n_train: int = 10000, n_test: int = 2000,
                      seed: int = 0):
     """(x_train, y_train, x_test, y_test) uint8 28x28x1, 10 classes; train
-    and test drawn from the same process with different sub-seeds."""
-    x_tr, y_tr = make_synth_images(n_train, (28, 28, 1), 10, seed * 2 + 1)
-    x_te, y_te = make_synth_images(n_test, (28, 28, 1), 10, seed * 2 + 2)
+    and test share prototypes (same classes) but draw independent
+    translations/noise."""
+    proto = 1000 + seed
+    x_tr, y_tr = make_synth_images(n_train, (28, 28, 1), 10,
+                                   seed * 2 + 1, proto_seed=proto)
+    x_te, y_te = make_synth_images(n_test, (28, 28, 1), 10,
+                                   seed * 2 + 2, proto_seed=proto)
     return x_tr, y_tr, x_te, y_te
 
 
 def make_synth_cifar(n_train: int = 10000, n_test: int = 2000,
                      seed: int = 0):
     """(x_train, y_train, x_test, y_test) uint8 32x32x3, 10 classes."""
+    proto = 2000 + seed
     x_tr, y_tr = make_synth_images(n_train, (32, 32, 3), 10,
-                                   seed * 2 + 101)
-    x_te, y_te = make_synth_images(n_test, (32, 32, 3), 10, seed * 2 + 102)
+                                   seed * 2 + 101, proto_seed=proto)
+    x_te, y_te = make_synth_images(n_test, (32, 32, 3), 10,
+                                   seed * 2 + 102, proto_seed=proto)
     return x_tr, y_tr, x_te, y_te

@@ -59,7 +59,7 @@ def _record_distortion(results, distortion, level, error, ece, entropy, nll):
 
 
 def evaluate_and_record(model, variables, cfg: Config, mode: str, results,
-                        ensemble: bool = False):
+                        ensemble: bool = False, mesh=None):
     """Train/valid/test evaluation (reference: experiments/utils.py:379-418).
     Returns (test probs, test targets) for the calibration plots."""
     train_loader, val_loader = get_train_loaders(cfg)
@@ -71,7 +71,7 @@ def evaluate_and_record(model, variables, cfg: Config, mode: str, results,
             continue
         error, ece, entropy, nll, o, t, sps = evaluate_with_loader(
             loader, model, variables, cfg, mode, ensemble=ensemble,
-            salt=split)
+            salt=split, mesh=mesh)
         log.info("## %s error=%.4f ece=%.4f entropy=%.4f nll=%.4f "
                  "(%.0f MC-samples/s) ##", split, error, ece, entropy, nll,
                  sps)
@@ -86,11 +86,13 @@ def evaluate_classification_uncertainty(model, variables, cfg: Config,
                                         ensemble: bool = False):
     """The full MNIST/CIFAR uncertainty protocol
     (reference: experiments/utils.py:24-132)."""
+    from qbn_tpu.parallel.mesh import mesh_from_config
+    mesh = mesh_from_config(cfg)
     base_dataset = cfg.dataset
     results = load_results(cfg.save) or init_results(cfg)
     results["model_size"] = model_size_mb(variables)
     out, tgt = evaluate_and_record(model, variables, cfg, mode, results,
-                                   ensemble)
+                                   ensemble, mesh=mesh)
     if out is not None:
         plot_reliability(out, tgt, os.path.join(cfg.save, "ece_test.png"))
         plot_confidence_histogram(out, os.path.join(cfg.save,
@@ -101,7 +103,7 @@ def evaluate_classification_uncertainty(model, variables, cfg: Config,
     ood_loader = get_test_loader(ood_cfg)
     error, ece, entropy, nll, out, tgt, sps = evaluate_with_loader(
         ood_loader, model, variables, cfg, mode, ensemble=ensemble,
-        salt="random")
+        salt="random", mesh=mesh)
     log.info("## random error=%.4f ece=%.4f entropy=%.4f nll=%.4f ##",
              error, ece, entropy, nll)
     _record(results, "random", error, ece, entropy, nll, sps)
@@ -115,7 +117,8 @@ def evaluate_classification_uncertainty(model, variables, cfg: Config,
             loader = get_test_loader(cfg, distortion, level)
             error, ece, entropy, nll, _, _, _ = evaluate_with_loader(
                 loader, model, variables, cfg, mode, ensemble=ensemble,
-                collect_outputs=False, salt=f"{distortion}{level}")
+                collect_outputs=False, salt=f"{distortion}{level}",
+                mesh=mesh)
             log.info("## %s level %d: error=%.4f ece=%.4f entropy=%.4f "
                      "nll=%.4f ##", distortion, level + 1, error, ece,
                      entropy, nll)
@@ -134,6 +137,8 @@ def evaluate_regression_uncertainty(cfg: Config, mode: str,
     """Multi-dataset regression protocol: per-fold model reload + nanmean
     across folds + synthetic decomposition plot
     (reference: experiments/utils.py:134-291)."""
+    from qbn_tpu.parallel.mesh import mesh_from_config
+    mesh = mesh_from_config(cfg)
     results = load_results(cfg.save) or init_results(cfg)
     ensemble = cfg.method == "sgld"
     datasets = datasets if datasets is not None else REGRESSION_DATASETS
@@ -167,7 +172,7 @@ def evaluate_regression_uncertainty(cfg: Config, mode: str,
                 error, _, _, nll, _, _, _ = evaluate_with_loader(
                     loader, model, variables, fcfg, mode, ensemble=ensemble,
                     collect_outputs=False, seed=fold,
-                    salt=f"{name}_{split}")
+                    salt=f"{name}_{split}", mesh=mesh)
                 per_split[split]["rmse"].append(error)
                 per_split[split]["nll"].append(nll)
             if cfg.debug:

@@ -149,11 +149,18 @@ def aggregate(task: str, outs, samples: int):
 
 
 def make_mc_eval(model, cfg: Config, mode: str, samples: Optional[int] = None,
-                 ensemble: bool = False, plan=None):
+                 ensemble: bool = False, plan=None, mesh=None):
     """Jitted batch evaluator: (variables, metric_state, x, y, key) ->
     (metric_state, aggregated_output). `plan` (from presample_plan) enables
-    the fused bulk weight draw on the INT path."""
+    the fused bulk weight draw on the INT path. With a mesh (and
+    samples % n_devices == 0) the sample axis is sharded over the devices,
+    composing with the plan (qbn_tpu.parallel.sharded)."""
     samples = cfg.samples if samples is None else samples
+    if mesh is not None and samples % mesh.devices.size == 0 and samples > 1:
+        from qbn_tpu.parallel.sharded import make_sharded_mc_eval
+        return make_sharded_mc_eval(model, cfg, mode, mesh,
+                                    samples=samples, ensemble=ensemble,
+                                    plan=plan)
     task = cfg.task
 
     @jax.jit
@@ -174,7 +181,8 @@ def make_mc_eval(model, cfg: Config, mode: str, samples: Optional[int] = None,
 def evaluate_with_loader(loader, model, variables, cfg: Config, mode: str,
                          samples: Optional[int] = None,
                          ensemble: bool = False, seed: int = 0,
-                         collect_outputs: bool = True, salt: str = ""):
+                         collect_outputs: bool = True, salt: str = "",
+                         mesh=None):
     """Full-loader MC evaluation.
 
     Returns (error, ece, entropy, nll, outputs, targets, samples_per_sec)
@@ -189,7 +197,8 @@ def evaluate_with_loader(loader, model, variables, cfg: Config, mode: str,
     plan = None
     if mode == "int" and not ensemble and samples > 1:
         plan = presample_plan(variables)
-    step = make_mc_eval(model, cfg, mode, samples, ensemble, plan=plan)
+    step = make_mc_eval(model, cfg, mode, samples, ensemble, plan=plan,
+                        mesh=mesh)
     metric_state = (M.cls_metrics_init() if cfg.task == "classification"
                     else M.reg_metrics_init())
     outputs, targets = [], []

@@ -112,8 +112,12 @@ def _fit(cfg: Config, mode: str, split: int = -1,
     if init_from is not None:
         variables = load_variables(variables, init_from)
     tx, _ = build_optimizer(cfg, len(train_loader))
+    from qbn_tpu.parallel.mesh import mesh_from_config
+    mesh = mesh_from_config(cfg)
+    if mesh is not None:
+        log.info("SPMD training over mesh %s", dict(mesh.shape))
     trainer = Trainer(model, cfg, tx, mode, train_loader, valid_loader,
-                      writer=writer)
+                      writer=writer, mesh=mesh)
     state = trainer.init_state(variables, jax.random.PRNGKey(cfg.seed + 1))
     from qbn_tpu.profiling import trace
     with trace(os.path.join(cfg.save, "profile"), enabled=cfg.profile):

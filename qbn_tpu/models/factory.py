@@ -52,7 +52,8 @@ def build_model(cfg: Config, quantized: bool | None = None) -> nn.Module:
     if quantized is None:
         quantized = bool(cfg.q or cfg.at)
     quant = QuantConfig(enabled=quantized, a_bits=cfg.activation_precision,
-                        w_bits=cfg.weight_precision)
+                        w_bits=cfg.weight_precision,
+                        tpu_fused=cfg.tpu_fused)
     kwargs = dict(
         output_size=cfg.output_size if arch != "linear" else 1,
         stochastic=(method == "bbb"),

@@ -38,8 +38,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from qbn_tpu.ops.stochastic import (
-    kl_divergence, local_reparam_dense, local_reparam_conv, sample_weights,
-    softplus,
+    kl_divergence, local_reparam_dense, local_reparam_dense_auto,
+    local_reparam_conv, sample_weights, softplus,
 )
 from qbn_tpu.ops.integer import int_dense, int_conv
 from qbn_tpu.quant.bounds import (
@@ -55,10 +55,14 @@ MODES = ("float", "qat", "convert", "int")
 
 @dataclasses.dataclass(frozen=True)
 class QuantConfig:
-    """Static quantisation configuration (hashable: safe as a linen field)."""
+    """Static quantisation configuration (hashable: safe as a linen field).
+
+    tpu_fused additionally routes the BBB local-reparam dense through the
+    fused Pallas kernel on TPU (Config.tpu_fused)."""
     enabled: bool = False
     a_bits: int = 7
     w_bits: int = 8
+    tpu_fused: bool = False
 
     @property
     def a_bounds(self) -> Tuple[int, int]:
@@ -71,27 +75,30 @@ class QuantConfig:
 
 @flax.struct.dataclass
 class QTensor:
-    """Quantised activation: CENTERED int8 codes + per-tensor qparams.
+    """Quantised activation: ZERO-POINT-REMOVED int8 codes + qparams.
 
-    codes = q - 128 where q is the uint8-convention code with zero point
-    zp (zp stays in uint convention, 0..255). dequant =
-    (codes + 128 - zp) * scale. Centering keeps every activation int8 on
-    the wire (4x less HBM traffic than int32 carriers) and feeds the MXU's
-    int8 path directly (see qbn_tpu.ops.integer).
+    codes = q - zp where q is the uint8-convention code with zero point zp.
+    dequant = codes * scale. This fits int8 exactly because activation
+    precision is capped at 7 bits (reference: src/quant_utils.py:120), so
+    q, zp in [0, 127]. Zero-point removal keeps every activation int8 on
+    the wire AND makes the int8 MXU dense/conv a single pass with no
+    activation-side zero-point corrections — conv zero padding becomes
+    exactly FBGEMM's pad-with-zero-point semantics (see qbn_tpu.ops.integer).
     """
-    codes: jax.Array   # int8, centered codes
+    codes: jax.Array   # int8, zero-point-removed codes (q - zp)
     scale: jax.Array   # f32 scalar
     zp: jax.Array      # int32 scalar (uint8 convention)
 
 
-def quantize_centered(x, scale, zp, a_lo: int, a_hi: int):
-    """Float -> centered int8 codes clamped to the sub-8-bit bounds."""
+def quantize_codes(x, scale, zp, a_lo: int, a_hi: int):
+    """Float -> zero-point-removed int8 codes clamped to the sub-8-bit
+    bounds."""
     q = quantize(x, scale, zp, a_lo, a_hi, dtype=jnp.int32)
-    return (q - 128).astype(jnp.int8)
+    return (q - zp).astype(jnp.int8)
 
 
-def dequantize_centered(codes, scale, zp):
-    return (codes.astype(jnp.float32) + (128.0 - zp)) * scale
+def dequantize_codes(codes, scale):
+    return codes.astype(jnp.float32) * scale
 
 
 def _torch_linear_init(key, shape, dtype=jnp.float32):
@@ -236,8 +243,9 @@ class DenseBlock(nn.Module, QuantOps):
             y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
             return y + bias if bias is not None else y
         if train:
-            return local_reparam_dense(x, kernel, softplus(std),
-                                       self.make_rng("noise"), bias)
+            return local_reparam_dense_auto(
+                x, kernel, softplus(std), self.make_rng("noise"), bias,
+                fused=self.quant.tpu_fused)
         w = sample_weights(kernel, softplus(std), self.make_rng("noise"))
         y = jnp.dot(x, w, preferred_element_type=jnp.float32)
         return y + bias if bias is not None else y
@@ -251,8 +259,9 @@ class DenseBlock(nn.Module, QuantOps):
             return y + bias if bias is not None else y
         std_fq = self._fq("std_w", softplus(std), wb, update)
         if train:
-            return local_reparam_dense(x, w_fq, std_fq,
-                                       self.make_rng("noise"), bias)
+            return local_reparam_dense_auto(
+                x, w_fq, std_fq, self.make_rng("noise"), bias,
+                fused=self.quant.tpu_fused)
         # eval: weight-space sampling with observed mul/add (FloatFunctional
         # observer pattern, reference: linear_qat.py:31-37)
         noise = jax.random.normal(self.make_rng("noise"), kernel.shape,
@@ -344,6 +353,9 @@ class ConvBlock(nn.Module, QuantOps):
     bn_eps: float = 1e-5
     bn_momentum: float = 0.1
     quant: QuantConfig = QuantConfig()
+    # space-to-depth packed int8 conv (qbn_tpu.ops.s2d): None = auto
+    # (3x3/stride-1/pad-1, narrow cout, even spatial dims), True/False force
+    s2d: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, mode: str = "float",
@@ -544,11 +556,37 @@ class ConvBlock(nn.Module, QuantOps):
         else:
             w_codes = qc["w_codes"].astype(jnp.int32)
             w_scale, w_zp = qc["w_scale"], qc["w_zp"]
-        codes = int_conv(
-            x.codes, x.scale, x.zp, w_codes, w_scale, w_zp, qc["bias_f"],
-            qc["act_scale"], qc["act_zp"], self.strides,
-            [(self.padding, self.padding)] * 2, ab[0], ab[1], relu=self.relu)
+        if self._use_s2d(x):
+            from qbn_tpu.ops.s2d import pack_weights_s2d, int_conv_s2d
+            codes = int_conv_s2d(
+                x.codes, x.scale, pack_weights_s2d(w_codes.astype(jnp.int8)),
+                self.features, w_scale, w_zp, qc["bias_f"],
+                qc["act_scale"], qc["act_zp"], ab[0], ab[1], relu=self.relu)
+        else:
+            codes = int_conv(
+                x.codes, x.scale, x.zp, w_codes, w_scale, w_zp, qc["bias_f"],
+                qc["act_scale"], qc["act_zp"], self.strides,
+                [(self.padding, self.padding)] * 2, ab[0], ab[1],
+                relu=self.relu)
         return QTensor(codes, qc["act_scale"], qc["act_zp"])
+
+    def _use_s2d(self, x: QTensor) -> bool:
+        """Space-to-depth packed conv: OFF by default — measured SLOWER
+        than the merged-sample-axis conv path under XLA (the f32
+        depth-to-space transpose dominates; see tools/microbench_conv.py).
+        Force per-layer with s2d=True or globally with QBN_S2D=on for
+        experiments; the math stays exactness-tested (tests/test_int_conv)."""
+        import os
+        eligible = (self.kernel_size == (3, 3)
+                    and tuple(self.strides) == (1, 1) and self.padding == 1
+                    and x.codes.shape[1] % 2 == 0
+                    and x.codes.shape[2] % 2 == 0)
+        if self.s2d:
+            assert eligible, "s2d forced on an ineligible conv"
+            return True
+        if os.environ.get("QBN_S2D", "off") == "on":
+            return eligible and self.features <= 48
+        return False
 
 
 class BernoulliDropout(nn.Module, QuantOps):
@@ -598,8 +636,8 @@ class BernoulliDropout(nn.Module, QuantOps):
             # dropout.py:31-34), then multiply + requantise
             mask_deq = dequantize(quantize(mask, ms, mz, 0, 255,
                                            dtype=jnp.int32), ms, mz)
-            prod = dequantize_centered(x.codes, x.scale, x.zp) * mask_deq
-            codes = quantize_centered(prod, ms, mz, ab[0], ab[1])
+            prod = dequantize_codes(x.codes, x.scale) * mask_deq
+            codes = quantize_codes(prod, ms, mz, ab[0], ab[1])
             # mul_scalar: output scale = scale * multiplier, codes unchanged
             return QTensor(codes, ms * multiplier, mz)
         # observer variable must exist in float mode too for tree parity
@@ -633,9 +671,9 @@ class ResidualAdd(nn.Module, QuantOps):
             {"scale": "scalar_f", "zp": "scalar_i"}))
         s, z = qc.value["scale"], qc.value["zp"]
         ab = self.quant.a_bounds
-        total = (dequantize_centered(a.codes, a.scale, a.zp)
-                 + dequantize_centered(b.codes, b.scale, b.zp))
-        return QTensor(quantize_centered(total, s, z, ab[0], ab[1]), s, z)
+        total = (dequantize_codes(a.codes, a.scale)
+                 + dequantize_codes(b.codes, b.scale))
+        return QTensor(quantize_codes(total, s, z, ab[0], ab[1]), s, z)
 
 
 class InputQuant(nn.Module, QuantOps):
@@ -661,13 +699,13 @@ class InputQuant(nn.Module, QuantOps):
             {"scale": "scalar_f", "zp": "scalar_i"}))
         s, z = qc.value["scale"], qc.value["zp"]
         ab = self.quant.a_bounds
-        return QTensor(quantize_centered(x, s, z, ab[0], ab[1]), s, z)
+        return QTensor(quantize_codes(x, s, z, ab[0], ab[1]), s, z)
 
 
 def dequant(x):
     """DeQuantStub equivalent: QTensor codes back to float32."""
     if isinstance(x, QTensor):
-        return dequantize_centered(x.codes, x.scale, x.zp)
+        return dequantize_codes(x.codes, x.scale)
     return x
 
 
@@ -705,6 +743,6 @@ def relu(x):
     max(code, zero_point), with no new observer — matching the converted
     reference nets where a bare ReLU acts on the quantised tensor."""
     if isinstance(x, QTensor):
-        zc = (x.zp - 128).astype(jnp.int8)
-        return QTensor(jnp.maximum(x.codes, zc), x.scale, x.zp)
+        # zero-point-removed codes: q >= zp  <=>  u >= 0
+        return QTensor(jnp.maximum(x.codes, jnp.int8(0)), x.scale, x.zp)
     return jax.nn.relu(x)

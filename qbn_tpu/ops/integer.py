@@ -1,104 +1,234 @@
-"""Integer inference kernels: int8 MXU dense / conv with exact zero-point
-decomposition.
+"""Integer inference kernels: int8 MXU dense / conv, one MXU pass each.
 
 TPU-native replacement for the FBGEMM int8 CPU kernels behind the
 reference's converted models (reference: src/models/stochastic/bbb/
 quantized/linear_q.py:93, conv_q.py:120-125).
 
-Representation: activations travel as CENTERED int8 codes c = q - 128,
-where q is the uint8-convention code with zero point zp (so
-dequant(c) = (c + 128 - zp) * scale). Centering keeps every tensor int8 —
-4x less HBM traffic than an int32 carrier and both MXU operands natively
-int8. Weights are int8 codes with zero point zw.
+Representation: activations travel as ZERO-POINT-REMOVED int8 codes
+u = q - zp, where q is the uint8-convention code with zero point zp (so
+dequant(u) = u * scale). This fits int8 exactly because the reference
+caps activation precision at 7 bits (assert 2 <= a <= 7,
+src/quant_utils.py:120): q in [0, 127] and zp in [0, 127] give
+u in [-127, 127]. Two consequences that make the int path one MXU op:
 
-With u = q - zp = c - zt (zt = zp - 128) and w' = w - zw, the int32
-accumulator decomposes exactly into one big int8 x int8 MXU product plus
-cheap rank-1 / constant corrections:
+  * the activation-side zero-point corrections vanish (u IS the centered
+    operand), and zero padding in conv is exactly FBGEMM's
+    pad-with-activation-zero-point semantics (u = 0 <=> q = zp);
+  * only the weight zero point zw remains:
+        dense:  u . (w - zw) = dot(u, w) - zw * rowsum(u)
+        conv:   u * (w - zw) = conv(u, w) - zw * winsum(u)
+    and winsum rides the SAME conv by appending one all-ones output
+    channel to the weights — cout is padded to the 128-lane MXU tile
+    anyway, so the extra channel is free (guarded for exact multiples
+    of 128, where it would add a tile).
 
-  dense:  u . w' = dot(c, w) - zw*rowsum(c) - zt*colsum(w) + K*zt*zw
-  conv:   u * w' = conv(c, w) - zw*conv(c, 1) - zt*conv(mask, w)
-                   + zt*zw*conv(mask, 1)
-          (mask = 1 on the image, 0 on the zero padding: FBGEMM pads with
-          the activation zero point, i.e. u = 0 in the halo.)
-
-Requantisation: c_out = clamp(round((acc*sx*sw + bias)/sy) + zy, 0,255)-128,
-then the sub-8-bit clamp (reference clamp_activation, src/utils.py:25-31).
+Requantisation: q_out = clamp(round((acc*sx*sw + bias)/sy) + zy, 0, 255),
+quantised ReLU = max(q, zy), then the sub-8-bit clamp (reference
+clamp_activation, src/utils.py:25-31); emitted as u_out = q_out - zy.
+All of it is elementwise and fuses into the conv epilogue under XLA.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
-from jax import lax
+from jax import custom_batching, lax
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
 def _requant_out(acc_f32, bias, out_scale, out_zp, relu, a_lo, a_hi):
-    """Float-requantise an accumulator to centered int8 codes."""
+    """Float-requantise an accumulator to zero-point-removed int8 codes."""
     y = acc_f32
     if bias is not None:
         y = y + bias
     q = jnp.round(y / out_scale) + out_zp
-    q = jnp.clip(q, 0, 255) - 128
+    q = jnp.clip(q, 0, 255)
     if relu:
-        q = jnp.maximum(q, out_zp - 128)  # quantised ReLU: max(code, zp)
-    return jnp.clip(q, a_lo - 128, a_hi - 128).astype(jnp.int8)
+        q = jnp.maximum(q, out_zp)  # quantised ReLU: max(code, zp)
+    q = jnp.clip(q, a_lo, a_hi)
+    return (q - out_zp).astype(jnp.int8)
+
+
+def _int_dense_impl(x_codes, x_scale, w8, w_scale, w_zp, bias,
+                    out_scale, out_zp, a_lo, a_hi, relu):
+    acc = lax.dot_general(x_codes, w8, (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.int32)
+    rowsum = jnp.sum(x_codes.astype(jnp.int32), axis=-1, keepdims=True)
+    acc_f = (acc - w_zp * rowsum).astype(jnp.float32) * (x_scale * w_scale)
+    return _requant_out(acc_f, bias, out_scale, out_zp, relu, a_lo, a_hi)
+
+
+@functools.lru_cache(maxsize=None)
+def _dense_core(a_lo: int, a_hi: int, relu: bool):
+    """custom_vmap'd dense core: when only the WEIGHTS carry the vmapped
+    (MC-sample) axis, all samples' outputs come out of ONE gemm with
+    N = S*features, requantised to int8 BEFORE the sample axis is moved
+    out front — the int32 (S, B, N) intermediate never exists."""
+
+    @custom_batching.custom_vmap
+    def core(x, xs, w8, ws, wzp, bias, os_, ozp):
+        return _int_dense_impl(x, xs, w8, ws, wzp, bias, os_, ozp,
+                               a_lo, a_hi, relu)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, x, xs, w8, ws, wzp, bias, os_, ozp):
+        xb, xsb, wb, wsb, wzpb, bb, osb, ozpb = in_batched
+        simple = (wb and not any((xb, xsb, wsb, wzpb, bb, osb, ozpb)))
+        if not simple:
+            return jax.vmap(
+                lambda *a: _int_dense_impl(*a, a_lo, a_hi, relu),
+                in_axes=tuple(0 if b else None for b in in_batched)
+            )(x, xs, w8, ws, wzp, bias, os_, ozp), True
+        s = axis_size
+        k, n = w8.shape[1], w8.shape[2]
+        wm = jnp.moveaxis(w8, 0, 1).reshape(k, s * n)  # (K, S, N) S-major
+        acc = lax.dot_general(x, wm, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+        rowsum = jnp.sum(x.astype(jnp.int32), axis=-1, keepdims=True)
+        acc = acc.reshape(x.shape[0], s, n) - (wzp * rowsum)[..., None]
+        acc_f = acc.astype(jnp.float32) * (xs * ws)
+        out = _requant_out(acc_f, bias, os_, ozp, relu, a_lo, a_hi)
+        return jnp.moveaxis(out, 1, 0), True  # int8 transpose
+
+    return core
 
 
 def int_dense(x_codes, x_scale, x_zp, w_codes, w_scale, w_zp, bias,
               out_scale, out_zp, a_lo: int, a_hi: int, relu: bool = False):
-    """Quantised dense layer on centered int8 activation codes.
+    """Quantised dense layer on zero-point-removed int8 activation codes.
 
     Args:
-      x_codes: (B, K) centered int8 codes.
+      x_codes: (B, K) int8 codes u = q - zp.
       w_codes: (K, N) int8 weight codes (int8 or int32 carrying int8 range).
-    Returns (B, N) centered int8 codes on (out_scale, out_zp).
+    Returns (B, N) codes u_out = q_out - out_zp.
     """
-    k = x_codes.shape[-1]
-    zt = x_zp - 128
-    w8 = w_codes.astype(jnp.int8)
-    acc = lax.dot_general(x_codes, w8, (((1,), (0,)), ((), ())),
-                          preferred_element_type=jnp.int32)
-    rowsum_c = jnp.sum(x_codes.astype(jnp.int32), axis=-1, keepdims=True)
-    colsum_w = jnp.sum(w_codes.astype(jnp.int32), axis=0, keepdims=True)
-    acc = acc - w_zp * rowsum_c - zt * colsum_w + k * zt * w_zp
-    acc_f = acc.astype(jnp.float32) * (x_scale * w_scale)
+    core = _dense_core(int(a_lo), int(a_hi), bool(relu))
+    bias = jnp.zeros((w_codes.shape[-1],), jnp.float32) if bias is None \
+        else bias
+    return core(x_codes, jnp.asarray(x_scale, jnp.float32),
+                w_codes.astype(jnp.int8),
+                jnp.asarray(w_scale, jnp.float32),
+                jnp.asarray(w_zp, jnp.float32), bias,
+                jnp.asarray(out_scale, jnp.float32),
+                jnp.asarray(out_zp, jnp.float32))
+
+
+def _int_conv_impl(x_codes, x_scale, w8, w_scale, w_zp, bias, out_scale,
+                   out_zp, strides, padding, a_lo, a_hi, relu):
+    kh, kw, cin, cout = w8.shape
+    if cout % 128 != 0:
+        # free winsum channel: cout+1 stays within the padded lane tile
+        w_aug = jnp.concatenate(
+            [w8, jnp.ones((kh, kw, cin, 1), jnp.int8)], axis=-1)
+        acc_all = lax.conv_general_dilated(
+            x_codes, w_aug, strides, padding, dimension_numbers=_DN,
+            preferred_element_type=jnp.int32)
+        acc = acc_all[..., :cout]
+        winsum = acc_all[..., cout:cout + 1]
+    else:
+        acc = lax.conv_general_dilated(
+            x_codes, w8, strides, padding, dimension_numbers=_DN,
+            preferred_element_type=jnp.int32)
+        ones_k = jnp.ones((kh, kw, cin, 1), jnp.int8)
+        winsum = lax.conv_general_dilated(
+            x_codes, ones_k, strides, padding, dimension_numbers=_DN,
+            preferred_element_type=jnp.int32)
+    acc_f = (acc - w_zp * winsum).astype(jnp.float32) * (x_scale * w_scale)
     return _requant_out(acc_f, bias, out_scale, out_zp, relu, a_lo, a_hi)
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_core(strides, padding, a_lo: int, a_hi: int, relu: bool):
+    """custom_vmap'd conv core. MC evaluation vmaps the model over
+    per-sample weights with a SHARED activation; the default batching rule
+    emits one conv to (B, H', W', S*cout) int32 followed by a transpose of
+    the int32 accumulator — at stage-1 ResNet shapes that transpose costs
+    more than the conv (measured 5.07 ms vs 1.80 ms for conv+requant).
+    This rule requantises in the merged layout first, so only int8 codes
+    get transposed, and computes the x-window-sum once for ALL samples
+    (it depends only on x)."""
+
+    @custom_batching.custom_vmap
+    def core(x, xs, w8, ws, wzp, bias, os_, ozp):
+        return _int_conv_impl(x, xs, w8, ws, wzp, bias, os_, ozp,
+                              strides, padding, a_lo, a_hi, relu)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, x, xs, w8, ws, wzp, bias, os_, ozp):
+        xb, xsb, wb, wsb, wzpb, bb, osb, ozpb = in_batched
+        rest = (xsb, wsb, wzpb, bb, osb, ozpb)
+        s = axis_size
+
+        if wb and not xb and not any(rest):
+            # shared activation (the first conv of the MC chain): all
+            # samples' outputs from ONE conv, N = S*cout; x window-sum is
+            # sample-independent -> one shared ones channel
+            _, kh, kw, cin, cout = w8.shape
+            wm = jnp.moveaxis(w8, 0, 3).reshape(kh, kw, cin, s * cout)
+            w_aug = jnp.concatenate(
+                [wm, jnp.ones((kh, kw, cin, 1), jnp.int8)], axis=-1)
+            acc_all = lax.conv_general_dilated(
+                x, w_aug, strides, padding, dimension_numbers=_DN,
+                preferred_element_type=jnp.int32)
+            b, ho, wo = acc_all.shape[:3]
+            acc = acc_all[..., :s * cout].reshape(b, ho, wo, s, cout)
+            winsum = acc_all[..., s * cout:]        # (B, H', W', 1)
+            acc = acc - (wzp * winsum)[..., None]
+            acc_f = acc.astype(jnp.float32) * (xs * ws)
+            out = _requant_out(acc_f, bias, os_, ozp, relu, a_lo, a_hi)
+            return jnp.moveaxis(out, 3, 0), True    # int8 transpose
+
+        if wb and xb and not any(rest):
+            # per-sample activations AND weights (deep MC layers): one
+            # batch-grouped conv — batch group s (rows [s*B, (s+1)*B)) is
+            # convolved with filter group s; measured ~2x over the default
+            # both-batched vmap lowering (tools/microbench_conv.py). Each
+            # group carries its own ones channel for the window-sum.
+            sb = x.shape[0] * x.shape[1]
+            xg = x.reshape((sb,) + x.shape[2:])     # free: S-major
+            _, kh, kw, cin, cout = w8.shape
+            wm = jnp.moveaxis(w8, 0, 3)             # (kh, kw, cin, S, cout)
+            w_aug = jnp.concatenate(
+                [wm, jnp.ones((kh, kw, cin, s, 1), jnp.int8)],
+                axis=-1).reshape(kh, kw, cin, s * (cout + 1))
+            acc_all = lax.conv_general_dilated(
+                xg, w_aug, strides, padding, dimension_numbers=_DN,
+                batch_group_count=s, preferred_element_type=jnp.int32)
+            b, ho, wo = acc_all.shape[:3]
+            acc_all = acc_all.reshape(b, ho, wo, s, cout + 1)
+            acc = acc_all[..., :cout]
+            winsum = acc_all[..., cout:]            # per-sample window-sum
+            acc = acc - wzp * winsum
+            acc_f = acc.astype(jnp.float32) * (xs * ws)
+            out = _requant_out(acc_f, bias, os_, ozp, relu, a_lo, a_hi)
+            return jnp.moveaxis(out, 3, 0), True    # int8 transpose
+
+        return jax.vmap(
+            lambda *a: _int_conv_impl(*a, strides, padding,
+                                      a_lo, a_hi, relu),
+            in_axes=tuple(0 if b else None for b in in_batched)
+        )(x, xs, w8, ws, wzp, bias, os_, ozp), True
+
+    return core
 
 
 def int_conv(x_codes, x_scale, x_zp, w_codes, w_scale, w_zp, bias,
              out_scale, out_zp, strides, padding,
              a_lo: int, a_hi: int, relu: bool = False):
-    """Quantised 2-D conv on centered int8 codes (NHWC / HWIO), computed as
-    one int8 MXU conv + three cheap correction convs."""
-    zt = x_zp - 128
-    w8 = w_codes.astype(jnp.int8)
-    kh, kw, cin, cout = w8.shape
-
-    # A: the heavy int8 x int8 product
-    acc = lax.conv_general_dilated(
-        x_codes, w8, strides, padding, dimension_numbers=_DN,
-        preferred_element_type=jnp.int32)
-
-    # B: -zw * window-sum of activations (per batch/position, bcast cout)
-    ones_k = jnp.ones((kh, kw, cin, 1), jnp.int8)
-    winsum = lax.conv_general_dilated(
-        x_codes, ones_k, strides, padding, dimension_numbers=_DN,
-        preferred_element_type=jnp.int32)
-
-    # C/D: padding-aware constants (batch-independent): conv of the valid
-    # mask with the cin-summed weights / with the window size. f32 is exact
-    # here (values << 2^24).
-    h, w_sp = x_codes.shape[1], x_codes.shape[2]
-    mask = jnp.ones((1, h, w_sp, 1), jnp.float32)
-    wsum = jnp.sum(w_codes.astype(jnp.float32), axis=2, keepdims=True)
-    maskw = lax.conv_general_dilated(mask, wsum, strides, padding,
-                                     dimension_numbers=_DN)
-    maskn = lax.conv_general_dilated(
-        mask, jnp.ones((kh, kw, 1, 1), jnp.float32), strides, padding,
-        dimension_numbers=_DN) * cin
-
-    acc_f = (acc - w_zp * winsum).astype(jnp.float32) \
-        - zt * maskw + (zt * w_zp) * maskn
-    acc_f = acc_f * (x_scale * w_scale)
-    return _requant_out(acc_f, bias, out_scale, out_zp, relu, a_lo, a_hi)
+    """Quantised 2-D conv on zero-point-removed int8 codes (NHWC / HWIO):
+    one int8 x int8 MXU conv; the weight-zero-point window-sum is carried
+    as an appended all-ones output channel. Under vmap over per-sample
+    weights, all samples merge into one conv (see _conv_core)."""
+    core = _conv_core(tuple(strides), tuple(tuple(p) for p in padding),
+                      int(a_lo), int(a_hi), bool(relu))
+    bias = jnp.zeros((w_codes.shape[-1],), jnp.float32) if bias is None \
+        else bias
+    return core(x_codes, jnp.asarray(x_scale, jnp.float32),
+                w_codes.astype(jnp.int8),
+                jnp.asarray(w_scale, jnp.float32),
+                jnp.asarray(w_zp, jnp.float32), bias,
+                jnp.asarray(out_scale, jnp.float32),
+                jnp.asarray(out_zp, jnp.float32))

@@ -60,6 +60,59 @@ def local_reparam_dense(x, w, sp_std, key, bias=None):
     return out
 
 
+@jax.custom_vjp
+def _lrd_fused(x, w, sp_std, noise):
+    from qbn_tpu.ops.pallas.bbb_dense import local_reparam_dense_fused
+    return local_reparam_dense_fused(x, w, sp_std, 0, noise=noise)
+
+
+def _lrd_fused_fwd(x, w, sp_std, noise):
+    return _lrd_fused(x, w, sp_std, noise), (x, w, sp_std, noise)
+
+
+def _lrd_fused_bwd(res, g):
+    # out = x@w + sqrt(VAR_EPS + x^2 @ sp^2) * eps
+    x, w, sp, noise = res
+    var = jnp.dot(jnp.square(x), jnp.square(sp),
+                  preferred_element_type=jnp.float32)
+    sigma = jnp.sqrt(VAR_EPS + var)
+    dvar = g * noise / (2.0 * sigma)
+    dx = (jnp.dot(g, w.T, preferred_element_type=jnp.float32)
+          + 2.0 * x * jnp.dot(dvar, jnp.square(sp).T,
+                              preferred_element_type=jnp.float32))
+    dw = jnp.dot(x.T, g, preferred_element_type=jnp.float32)
+    dsp = 2.0 * sp * jnp.dot(jnp.square(x).T, dvar,
+                             preferred_element_type=jnp.float32)
+    return dx, dw, dsp, g * sigma
+
+
+_lrd_fused.defvjp(_lrd_fused_fwd, _lrd_fused_bwd)
+
+
+def local_reparam_dense_auto(x, w, sp_std, key, bias=None,
+                             fused: bool = False, interpret: bool = False):
+    """local_reparam_dense, optionally through the fused Pallas kernel
+    (qbn_tpu.ops.pallas.bbb_dense) with a custom VJP.
+
+    The noise is drawn OUTSIDE the kernel with the same jax.random bits as
+    the XLA path, so fused and unfused forwards agree numerically; the
+    fusion win is the shared activation tile for the mean/variance matmul
+    pair. Active only on TPU (or under interpret for tests)."""
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if fused and (on_tpu or interpret) and x.ndim == 2:
+        noise = jax.random.normal(key, (x.shape[0], w.shape[1]),
+                                  jnp.float32)
+        if interpret:
+            from qbn_tpu.ops.pallas.bbb_dense import \
+                local_reparam_dense_fused
+            out = local_reparam_dense_fused(x, w, sp_std, 0, noise=noise,
+                                            interpret=True)
+        else:
+            out = _lrd_fused(x, w, sp_std, noise)
+        return out + bias if bias is not None else out
+    return local_reparam_dense(x, w, sp_std, key, bias)
+
+
 def local_reparam_conv(x, w, sp_std, key, strides, padding, bias=None):
     """Training-mode BBB conv via the local reparametrisation trick.
 

@@ -27,6 +27,27 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(devs, axis_names=tuple(axis_names))
 
 
+def mesh_from_config(cfg) -> Optional[Mesh]:
+    """Production mesh selection (wired through flows/experiments):
+    cfg.mesh_shape=None -> single-device (no mesh); otherwise a mesh of
+    that shape, 1-D 'data' (training shards the batch; MC eval shards the
+    posterior-sample axis over the same devices). cfg.mc_parallel > 1 caps
+    the device count used for MC-sample sharding."""
+    if cfg.mesh_shape is None:
+        return None
+    shape = tuple(cfg.mesh_shape)
+    n = 1
+    for s in shape:
+        n *= s
+    if n > len(jax.devices()):
+        raise ValueError(
+            f"mesh_shape {shape} needs {n} devices, have "
+            f"{len(jax.devices())}")
+    return make_mesh(n_devices=n, shape=shape,
+                     axis_names=("data",) if len(shape) == 1
+                     else ("data", "sample"))
+
+
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension over `axis`."""
     return NamedSharding(mesh, P(axis))

@@ -1,14 +1,20 @@
 """Mesh-sharded train and MC-eval steps.
 
 SPMD recipe: parameters/optimiser state replicated, batch sharded over the
-'data' axis, MC-sample keys (or ensemble members) sharded over the 'sample'
-axis. XLA inserts the psum for gradients and metric sums — no hand-written
-collectives (the scaling-book recipe: annotate shardings, let the compiler
-place collectives on ICI).
+'data' axis for training; MC samples sharded over the 'sample' axis for
+evaluation (each device draws its chunk of posterior samples, including
+the fused presampling plan, then outputs gather back). XLA inserts the
+collectives — no hand-written psums (the scaling-book recipe: annotate
+shardings, let the compiler place collectives on ICI).
+
+Partial batches (batch % n_devices != 0) fall back to the unsharded step
+in the Trainer, so mesh runs are numerically IDENTICAL to single-device
+runs — sharding is a placement change, never a math change.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -28,7 +34,7 @@ def make_sharded_train_step(model, cfg: Config, tx, mode: str,
     base = make_train_step(model, cfg, tx, mode, n_batches, n_points,
                            jit_compile=False)
     rep = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
+    data = NamedSharding(mesh, P(mesh.axis_names[0]))
     return jax.jit(
         base,
         in_shardings=(rep, rep, data, data),
@@ -36,37 +42,74 @@ def make_sharded_train_step(model, cfg: Config, tx, mode: str,
     )
 
 
+def make_sharded_eval_step(model, cfg: Config, mode: str,
+                           update_observers: bool, mesh: Mesh):
+    """Data-parallel (validation) eval step."""
+    base = make_eval_step(model, cfg, mode, update_observers,
+                          jit_compile=False)
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return jax.jit(base, in_shardings=(rep, rep, data, data, rep),
+                   out_shardings=(rep, rep))
+
+
 def make_sharded_mc_eval(model, cfg: Config, mode: str, mesh: Mesh,
                          samples: Optional[int] = None,
-                         ensemble: bool = False):
-    """MC evaluation with the sample axis sharded over 'sample' and the
-    batch over 'data' (when those axes exist in the mesh)."""
+                         ensemble: bool = False, plan=None):
+    """MC evaluation with the posterior-sample axis sharded over the mesh.
+
+    Each device draws samples/n_devices posterior samples from a
+    device-specific key (shard_map over the last mesh axis), INCLUDING the
+    fused bulk presampling plan — the Pallas weight-draw kernel runs
+    per-device on its chunk, so the two fast paths compose. The batch is
+    replicated (the sample axis is the long axis: 20-100 samples).
+
+    Requires samples % n_devices == 0 (callers fall back to the unsharded
+    evaluator otherwise).
+    """
     samples = cfg.samples if samples is None else samples
     task = cfg.task
-    axes = mesh.axis_names
-    rep = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data")) if "data" in axes else rep
-    if "sample" in axes and not ensemble:
-        key_sh = NamedSharding(mesh, P("sample"))
-    else:
-        key_sh = rep
+    axis = mesh.axis_names[-1]
+    n_dev = mesh.shape[axis]
+    assert samples % n_dev == 0, (samples, n_dev)
+    chunk = samples // n_dev
 
-    def step(variables, metric_state, x, y, keys):
-        outs = jax.vmap(
-            lambda k: mc_predict(model, variables, x, k, samples=1,
-                                 mode=mode)[0]
-            if task == "classification" else
-            jax.tree.map(lambda o: o[0],
-                         mc_predict(model, variables, x, k, samples=1,
-                                    mode=mode))
-        )(keys)
+    def per_device(variables, x, key):
+        idx = jax.lax.axis_index(axis)
+        k = jax.random.fold_in(key, idx)
+        if ensemble:
+            # variables arrive with the member axis sharded over `axis`
+            outs = jax.vmap(
+                lambda v, kk: _one(variables_tree=v, x=x, kk=kk),
+                in_axes=(0, 0))(variables, jax.random.split(k, chunk))
+        else:
+            outs = mc_predict(model, variables, x, k, samples=chunk,
+                              mode=mode, ensemble=False, plan=plan)
+        return outs
+
+    def _one(variables_tree, x, kk):
+        out, _ = model.apply(variables_tree, x, train=False, mode=mode,
+                             update_stats=False, rngs=split_rngs(kk),
+                             mutable=["kl"])
+        return out
+
+    var_spec = P(axis) if ensemble else P()
+    sharded = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(var_spec, P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(variables, metric_state, x, y, key):
+        outs = sharded(variables, x, key)
         agg = aggregate(task, outs, samples)
         if task == "classification":
             metric_state = M.cls_metrics_update(metric_state, agg, y)
         else:
-            metric_state = M.reg_metrics_update(metric_state, agg[0],
-                                                agg[1], y)
+            mean, var = agg
+            metric_state = M.reg_metrics_update(metric_state, mean, var, y)
         return metric_state, agg
 
-    return jax.jit(step, in_shardings=(rep, rep, data, data, key_sh),
-                   out_shardings=(rep, rep))
+    return step

@@ -152,7 +152,7 @@ class Trainer:
     """Host-side epoch loop around the jitted steps."""
 
     def __init__(self, model, cfg: Config, tx, mode: str,
-                 train_loader, valid_loader=None, writer=None):
+                 train_loader, valid_loader=None, writer=None, mesh=None):
         self.model = model
         self.cfg = cfg
         self.tx = tx
@@ -160,6 +160,7 @@ class Trainer:
         self.train_loader = train_loader
         self.valid_loader = valid_loader
         self.writer = writer
+        self.mesh = mesh
         self.train_time = 0.0
         self.val_time = 0.0
         self.epoch = 0
@@ -169,6 +170,23 @@ class Trainer:
                                            n_points)
         self._eval_step = make_eval_step(
             model, cfg, mode, update_observers=(mode == "qat"))
+        self._sharded_train_step = self._sharded_eval_step = None
+        if mesh is not None:
+            # SPMD data-parallel steps: used for batches divisible by the
+            # mesh; partial batches fall back to the unsharded step, so a
+            # mesh run is numerically identical to a single-device run.
+            from qbn_tpu.parallel.sharded import (
+                make_sharded_train_step, make_sharded_eval_step,
+            )
+            self._sharded_train_step = make_sharded_train_step(
+                model, cfg, tx, mode, n_batches, n_points, mesh)
+            self._sharded_eval_step = make_sharded_eval_step(
+                model, cfg, mode, (mode == "qat"), mesh)
+
+    def _pick_step(self, sharded, plain, batch_len: int):
+        if sharded is not None and batch_len % self.mesh.devices.size == 0:
+            return sharded, True
+        return plain, False
 
     def init_state(self, variables, rng) -> TrainState:
         params = variables["params"]
@@ -187,8 +205,12 @@ class Trainer:
         metric_state = _metrics_init(self.cfg.task)
         logs = {}
         for i, (x, y) in enumerate(self.train_loader):
-            state, metric_state, logs = self._train_step(
-                state, metric_state, x, y)
+            step, sharded = self._pick_step(self._sharded_train_step,
+                                            self._train_step, len(y))
+            if sharded:
+                from qbn_tpu.parallel.mesh import shard_batch
+                x, y = shard_batch((x, y), self.mesh)
+            state, metric_state, logs = step(state, metric_state, x, y)
             if i % self.cfg.report_freq == 0 and i > 0:
                 log.info("train step %d/%d obj=%.4f", i,
                          len(self.train_loader), float(logs["obj"]))
@@ -206,8 +228,12 @@ class Trainer:
         for i, (x, y) in enumerate(loader):
             key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 17),
                                      seed * 100003 + i)
-            state, metric_state = self._eval_step(state, metric_state, x, y,
-                                                  key)
+            step, sharded = self._pick_step(self._sharded_eval_step,
+                                            self._eval_step, len(y))
+            if sharded:
+                from qbn_tpu.parallel.mesh import shard_batch
+                x, y = shard_batch((x, y), self.mesh)
+            state, metric_state = step(state, metric_state, x, y, key)
             if self.cfg.debug:
                 break
         out = {k: float(v) for k, v in

@@ -80,3 +80,49 @@ def test_local_reparam_fused_pads_ragged_batch():
     # with ~zero posterior std the output is the plain matmul
     np.testing.assert_allclose(out, np.asarray(x) @ np.asarray(w),
                                atol=1e-2)
+
+
+def test_fused_dense_custom_vjp_matches_xla_grads():
+    """The custom VJP behind local_reparam_dense_auto must match jax.grad
+    of the XLA reference with identical noise."""
+    from qbn_tpu.ops.stochastic import (
+        _lrd_fused_bwd, local_reparam_dense, VAR_EPS,
+    )
+    b, k, n = 8, 32, 16
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(b, k).astype(np.float32))
+    w = jnp.asarray(rng.randn(k, n).astype(np.float32) * 0.1)
+    sp = jnp.asarray(rng.uniform(0.05, 0.2, (k, n)).astype(np.float32))
+    noise = jnp.asarray(rng.randn(b, n).astype(np.float32))
+    g = jnp.asarray(rng.randn(b, n).astype(np.float32))
+
+    def ref(x, w, sp, noise):
+        mean = x @ w
+        var = jnp.square(x) @ jnp.square(sp)
+        return mean + jnp.sqrt(VAR_EPS + var) * noise
+
+    _, ref_vjp = jax.vjp(ref, x, w, sp, noise)
+    want = ref_vjp(g)
+    got = _lrd_fused_bwd((x, w, sp, noise), g)
+    for a, b_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_local_reparam_dense_auto_interpret_matches_plain():
+    """Flag-on (interpret kernel) == flag-off, bit-compatible noise."""
+    from qbn_tpu.ops.stochastic import (
+        local_reparam_dense, local_reparam_dense_auto,
+    )
+    b, k, n = 8, 32, 16
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(b, k).astype(np.float32))
+    w = jnp.asarray(rng.randn(k, n).astype(np.float32) * 0.1)
+    sp = jnp.asarray(rng.uniform(0.05, 0.2, (k, n)).astype(np.float32))
+    bias = jnp.asarray(rng.randn(n).astype(np.float32))
+    key = jax.random.PRNGKey(11)
+    plain = local_reparam_dense(x, w, sp, key, bias)
+    fused = local_reparam_dense_auto(x, w, sp, key, bias, fused=True,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain),
+                               rtol=2e-5, atol=2e-5)

@@ -69,14 +69,41 @@ def test_sharded_mc_eval_over_sample_axis():
     x = jax.random.uniform(jax.random.PRNGKey(2), (8, 28, 28, 1))
     y = jax.random.randint(jax.random.PRNGKey(3), (8,), 0, 10)
     variables = init_variables(model, KEY, x)
-    mesh = make_mesh(8, shape=(1, 8), axis_names=("data", "sample"))
+    mesh = make_mesh(8, axis_names=("sample",))
     step = make_sharded_mc_eval(model, cfg, "float", mesh, samples=8)
-    keys = jax.random.split(jax.random.PRNGKey(9), 8)
-    ms, agg = step(variables, M.cls_metrics_init(), x, y, keys)
+    ms, agg = step(variables, M.cls_metrics_init(), x, y,
+                   jax.random.PRNGKey(9))
     out = {k: float(v) for k, v in M.cls_metrics_compute(ms).items()}
     assert np.isfinite(out["nll"])
     assert agg.shape == (8, 10)
     np.testing.assert_allclose(np.asarray(agg).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_mesh_flow_matches_single_device(tmp_path):
+    """End-to-end production flow with --mesh_shape 8 must produce metrics
+    IDENTICAL to the single-device flow (sharding is placement, not math).
+    Batch and samples divide the mesh, so every step takes the SPMD path."""
+    import json
+    import os
+    from qbn_tpu.presets import preset
+    from qbn_tpu.flows import setup_experiment, run_float_classification
+
+    def run(mesh_shape, sub):
+        cfg = preset("bbb", "mnist", "float").replace(
+            epochs=2, batch_size=16, samples=8, debug=True,
+            save=str(tmp_path / sub), seed=3, mesh_shape=mesh_shape,
+            valid_portion=0.1)
+        cfg = setup_experiment(cfg)
+        run_float_classification(cfg)
+        return json.load(open(os.path.join(cfg.save, "results.json")))
+
+    single = run(None, "single")
+    mesh = run((8,), "mesh")
+    for metric in ("error", "nll", "ece", "entropy"):
+        for split in ("test", "valid"):
+            a, b = single[metric][split], mesh[metric][split]
+            assert np.isclose(a, b, rtol=1e-5, atol=1e-6), (
+                metric, split, a, b)
 
 
 def test_vmapped_multi_seed_training():

@@ -90,16 +90,17 @@ def test_uci_round_trip(tmp_path, name):
 
 
 def test_synth_images_learnable_and_deterministic():
-    from qbn_tpu.data.synth import make_synth_images
-    x1, y1 = make_synth_images(64, (28, 28, 1), 10, seed=7)
-    x2, y2 = make_synth_images(64, (28, 28, 1), 10, seed=7)
+    from qbn_tpu.data.synth import make_synth_mnist
+    x1, y1, xt1, yt1 = make_synth_mnist(256, 128, seed=7)
+    x2, y2, _, _ = make_synth_mnist(256, 128, seed=7)
     np.testing.assert_array_equal(x1, x2)
     np.testing.assert_array_equal(y1, y2)
-    assert x1.dtype == np.uint8 and x1.shape == (64, 28, 28, 1)
-    # class structure: a nearest-prototype classifier on the raw pixels
-    # should beat chance by a wide margin
+    assert x1.dtype == np.uint8 and x1.shape == (256, 28, 28, 1)
+    # GENERALISATION structure: a nearest-class-mean classifier fit on
+    # TRAIN must classify the held-out TEST split well above chance
+    # (train and test share prototypes but draw independent noise/shifts)
     protos = np.stack([x1[y1 == k].mean(0) for k in range(10)])
-    d = ((x1[:, None].astype(np.float32)
+    d = ((xt1[:, None].astype(np.float32)
           - protos[None].astype(np.float32)) ** 2).sum((2, 3, 4))
-    acc = (d.argmin(1) == y1).mean()
-    assert acc > 0.5, f"synthetic classes not learnable (acc={acc})"
+    acc = (d.argmin(1) == yt1).mean()
+    assert acc > 0.5, f"synthetic classes not learnable (test acc={acc})"
