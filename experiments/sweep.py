@@ -39,8 +39,12 @@ def main(argv=None):
                    default=["regression", "mnist", "cifar"])
     p.add_argument("--seeds", nargs="+", type=int, default=[1, 2, 3])
     p.add_argument("--load", default=None,
-                   help="float experiment dir (quant grid)")
+                   help="float experiment dir (quant grid); '{seed}' is "
+                        "substituted per seed. Default: the float grid's "
+                        "own '<out>/<method>-<tier>-seed<seed>' layout")
     p.add_argument("--out", default="sweeps")
+    p.add_argument("--cells", nargs="*", default=None,
+                   help="restrict the quant grid to cells 'a_A_w_W'")
     p.add_argument("--extra", nargs="*", default=[],
                    help="extra flags passed through to run.py")
     args = p.parse_args(argv)
@@ -62,18 +66,35 @@ def main(argv=None):
                                 os.path.join(args.out,
                                              f"{method}-{tier}-avg")])
             else:
-                if not args.load:
-                    raise SystemExit("--load is required for the quant grid")
                 cells = ([(7, w) for w in WEIGHT_SWEEP]
                          + [(a, 8) for a in ACTIVATION_SWEEP])
+                if args.cells:
+                    cells = [(int(c.split("_")[1]), int(c.split("_")[3]))
+                             for c in args.cells]
                 for a_bits, w_bits in cells:
-                    d = os.path.join(args.out,
-                                     f"{method}-{tier}-a_{a_bits}_w_{w_bits}")
-                    run_main(["--method", method, "--tier", tier,
-                              "--phase", "qat", "--load", args.load,
-                              "--activation_precision", str(a_bits),
-                              "--weight_precision", str(w_bits),
-                              "--save", d] + args.extra)
+                    cell = f"a_{a_bits}_w_{w_bits}"
+                    run_dirs = []
+                    for seed in args.seeds:
+                        load = (args.load.replace("{seed}", str(seed))
+                                if args.load else
+                                os.path.join(
+                                    args.out,
+                                    f"{method}-{tier}-seed{seed}"))
+                        d = os.path.join(
+                            args.out,
+                            f"{method}-{tier}-{cell}-seed{seed}")
+                        run_main(["--method", method, "--tier", tier,
+                                  "--phase", "qat", "--load", load,
+                                  "--seed", str(seed),
+                                  "--activation_precision", str(a_bits),
+                                  "--weight_precision", str(w_bits),
+                                  "--save", d] + args.extra)
+                        run_dirs.append(d)
+                    average_results.main(
+                        run_dirs + ["--save",
+                                    os.path.join(
+                                        args.out,
+                                        f"{method}-{tier}-{cell}-avg")])
 
 
 if __name__ == "__main__":

@@ -23,10 +23,13 @@ def main(argv=None):
     p.add_argument("--n_train", type=int, default=10000)
     p.add_argument("--n_test", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max_shift", type=int, default=3)
+    p.add_argument("--noise_sigma", type=float, default=25.0)
     args = p.parse_args(argv)
 
-    x_tr, y_tr, x_te, y_te = make_synth_mnist(args.n_train, args.n_test,
-                                              args.seed)
+    x_tr, y_tr, x_te, y_te = make_synth_mnist(
+        args.n_train, args.n_test, args.seed, max_shift=args.max_shift,
+        noise_sigma=args.noise_sigma)
     write_mnist_dir(args.out, x_tr, y_tr, x_te, y_te, prefix="MNIST")
 
     # OOD stand-in ("random_mnist" = FashionMNIST in the reference):

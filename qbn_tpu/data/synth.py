@@ -65,15 +65,20 @@ def make_synth_images(n: int, shape: Tuple[int, int, int], classes: int,
 
 
 def make_synth_mnist(n_train: int = 10000, n_test: int = 2000,
-                     seed: int = 0):
+                     seed: int = 0, max_shift: int = 3,
+                     noise_sigma: float = 25.0):
     """(x_train, y_train, x_test, y_test) uint8 28x28x1, 10 classes; train
     and test share prototypes (same classes) but draw independent
-    translations/noise."""
+    translations/noise. max_shift/noise_sigma control task difficulty."""
     proto = 1000 + seed
     x_tr, y_tr = make_synth_images(n_train, (28, 28, 1), 10,
-                                   seed * 2 + 1, proto_seed=proto)
+                                   seed * 2 + 1, proto_seed=proto,
+                                   max_shift=max_shift,
+                                   noise_sigma=noise_sigma)
     x_te, y_te = make_synth_images(n_test, (28, 28, 1), 10,
-                                   seed * 2 + 2, proto_seed=proto)
+                                   seed * 2 + 2, proto_seed=proto,
+                                   max_shift=max_shift,
+                                   noise_sigma=noise_sigma)
     return x_tr, y_tr, x_te, y_te
 
 

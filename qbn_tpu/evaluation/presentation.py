@@ -115,6 +115,71 @@ def plot_bitwidth_lines(float_results: Dict[str, dict],
     plt.close(f)
 
 
+def isoutlier(val: float) -> bool:
+    """Reference outlier filter for presentation plots
+    (reference: src/utils.py:100-101)."""
+    return (val == np.inf or val == -np.inf or val < -9e1 or val > 9e1
+            or bool(np.isnan(val)))
+
+
+def plot_candlestick_grid(results_by_method: Dict[str, dict], metric: str,
+                          path: str, levels: int = 5) -> None:
+    """Box-plot (candlestick) grid: one box per (method, severity level),
+    the box spanning the 3 distortions at that level, level '-1' being the
+    clean test split — the reference's published-figure format
+    (reference: experiments/presentation/plot_candlesticks.py:57-111)."""
+    plt = _plt()
+    fig = plt.figure(figsize=(7, 2.6))
+    plt.grid(True)
+    bps, labels = [], []
+    methods = [m for m in ("pointwise", "mcdropout", "bbb", "sgld")
+               if m in results_by_method] or list(results_by_method)
+    for i, method in enumerate(methods):
+        res = results_by_method[method]
+        data = []
+        for level in range(-1, levels):
+            vals = []
+            for distortion in DISTORTIONS:
+                if level == -1:
+                    v = res.get(metric, {}).get("test")
+                else:
+                    v = res.get(metric, {}).get(distortion,
+                                                {}).get(str(level))
+                if v is None:
+                    continue
+                v = _leaf_mean(v)
+                if not isoutlier(v):
+                    vals.append(v)
+            data.append(vals or [np.nan])
+        positions = np.array([1 + k * (len(methods) + 1) + i
+                              for k in range(levels + 1)])
+        bp = plt.boxplot(
+            data, positions=positions, showfliers=False, patch_artist=True,
+            medianprops=dict(linewidth=2, color="black"),
+            boxprops=dict(facecolor=f"C{i}", hatch="//" if i == 0 else ""),
+            widths=1)
+        bps.append(bp)
+        labels.append(METHOD_LABELS.get(method, method))
+    ax = fig.gca()
+    ticks = ["Test data\n(clean)"] + [f"level {k + 1}"
+                                      for k in range(levels)]
+    tick_pos = np.array([1 + k * (len(methods) + 1)
+                         + (len(methods) - 1) / 2.0
+                         for k in range(levels + 1)])
+    ax.spines["top"].set_visible(False)
+    ax.spines["right"].set_visible(False)
+    plt.xticks(ticks=tick_pos, labels=ticks, fontsize=8)
+    plt.tick_params(axis="x", which="both", bottom=False)
+    plt.xlabel("Distortions")
+    plt.ylabel(METRIC_LABELS.get(metric, metric))
+    plt.tight_layout()
+    ax.legend([bp["boxes"][0] for bp in bps], labels, loc="upper center",
+              bbox_to_anchor=(0.5, 1.25), ncol=max(len(labels), 1),
+              fontsize="small")
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+
+
 def load_summary(path: str) -> dict:
     with open(os.path.join(path, "results.json")) as fh:
         return json.load(fh)

@@ -38,6 +38,21 @@ from jax import custom_batching, lax
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
+# Contraction-depth bound for EXACT bf16 convolution of int8 codes:
+# products of int8-valued bf16 operands are exact in the f32 accumulator,
+# and the accumulated integer stays exact while K * 127^2 < 2^24. XLA's
+# bf16 conv lowering measures ~1.35x faster than its int8 one on v5e
+# (tools/microbench_conv.py), so casting is a free win where exact.
+_BF16_EXACT_K = (1 << 24) // (127 * 127)
+
+
+def _conv_operands(x8, w8, k: int):
+    """Pick the fastest EXACT MXU dtype for an int8 conv contraction."""
+    if k <= _BF16_EXACT_K:
+        return (x8.astype(jnp.bfloat16), w8.astype(jnp.bfloat16),
+                jnp.float32)
+    return x8, w8, jnp.int32
+
 
 def _requant_out(acc_f32, bias, out_scale, out_zp, relu, a_lo, a_hi):
     """Float-requantise an accumulator to zero-point-removed int8 codes."""
@@ -54,8 +69,9 @@ def _requant_out(acc_f32, bias, out_scale, out_zp, relu, a_lo, a_hi):
 
 def _int_dense_impl(x_codes, x_scale, w8, w_scale, w_zp, bias,
                     out_scale, out_zp, a_lo, a_hi, relu):
-    acc = lax.dot_general(x_codes, w8, (((1,), (0,)), ((), ())),
-                          preferred_element_type=jnp.int32)
+    xo, wo_, acct = _conv_operands(x_codes, w8, x_codes.shape[-1])
+    acc = lax.dot_general(xo, wo_, (((1,), (0,)), ((), ())),
+                          preferred_element_type=acct)
     rowsum = jnp.sum(x_codes.astype(jnp.int32), axis=-1, keepdims=True)
     acc_f = (acc - w_zp * rowsum).astype(jnp.float32) * (x_scale * w_scale)
     return _requant_out(acc_f, bias, out_scale, out_zp, relu, a_lo, a_hi)
@@ -85,8 +101,9 @@ def _dense_core(a_lo: int, a_hi: int, relu: bool):
         s = axis_size
         k, n = w8.shape[1], w8.shape[2]
         wm = jnp.moveaxis(w8, 0, 1).reshape(k, s * n)  # (K, S, N) S-major
-        acc = lax.dot_general(x, wm, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
+        xo, wo_, acct = _conv_operands(x, wm, k)
+        acc = lax.dot_general(xo, wo_, (((1,), (0,)), ((), ())),
+                              preferred_element_type=acct)
         rowsum = jnp.sum(x.astype(jnp.int32), axis=-1, keepdims=True)
         acc = acc.reshape(x.shape[0], s, n) - (wzp * rowsum)[..., None]
         acc_f = acc.astype(jnp.float32) * (xs * ws)
@@ -123,19 +140,21 @@ def _int_conv_impl(x_codes, x_scale, w8, w_scale, w_zp, bias, out_scale,
         # free winsum channel: cout+1 stays within the padded lane tile
         w_aug = jnp.concatenate(
             [w8, jnp.ones((kh, kw, cin, 1), jnp.int8)], axis=-1)
+        xo, wo_, acct = _conv_operands(x_codes, w_aug, kh * kw * cin)
         acc_all = lax.conv_general_dilated(
-            x_codes, w_aug, strides, padding, dimension_numbers=_DN,
-            preferred_element_type=jnp.int32)
+            xo, wo_, strides, padding, dimension_numbers=_DN,
+            preferred_element_type=acct)
         acc = acc_all[..., :cout]
         winsum = acc_all[..., cout:cout + 1]
     else:
+        xo, wo_, acct = _conv_operands(x_codes, w8, kh * kw * cin)
         acc = lax.conv_general_dilated(
-            x_codes, w8, strides, padding, dimension_numbers=_DN,
-            preferred_element_type=jnp.int32)
-        ones_k = jnp.ones((kh, kw, cin, 1), jnp.int8)
+            xo, wo_, strides, padding, dimension_numbers=_DN,
+            preferred_element_type=acct)
+        ones_k = jnp.ones((kh, kw, cin, 1), wo_.dtype)
         winsum = lax.conv_general_dilated(
-            x_codes, ones_k, strides, padding, dimension_numbers=_DN,
-            preferred_element_type=jnp.int32)
+            xo, ones_k, strides, padding, dimension_numbers=_DN,
+            preferred_element_type=acct)
     acc_f = (acc - w_zp * winsum).astype(jnp.float32) * (x_scale * w_scale)
     return _requant_out(acc_f, bias, out_scale, out_zp, relu, a_lo, a_hi)
 
@@ -170,9 +189,10 @@ def _conv_core(strides, padding, a_lo: int, a_hi: int, relu: bool):
             wm = jnp.moveaxis(w8, 0, 3).reshape(kh, kw, cin, s * cout)
             w_aug = jnp.concatenate(
                 [wm, jnp.ones((kh, kw, cin, 1), jnp.int8)], axis=-1)
+            xo, wo_, acct = _conv_operands(x, w_aug, kh * kw * cin)
             acc_all = lax.conv_general_dilated(
-                x, w_aug, strides, padding, dimension_numbers=_DN,
-                preferred_element_type=jnp.int32)
+                xo, wo_, strides, padding, dimension_numbers=_DN,
+                preferred_element_type=acct)
             b, ho, wo = acc_all.shape[:3]
             acc = acc_all[..., :s * cout].reshape(b, ho, wo, s, cout)
             winsum = acc_all[..., s * cout:]        # (B, H', W', 1)
@@ -194,9 +214,10 @@ def _conv_core(strides, padding, a_lo: int, a_hi: int, relu: bool):
             w_aug = jnp.concatenate(
                 [wm, jnp.ones((kh, kw, cin, s, 1), jnp.int8)],
                 axis=-1).reshape(kh, kw, cin, s * (cout + 1))
+            xo, wo_, acct = _conv_operands(xg, w_aug, kh * kw * cin)
             acc_all = lax.conv_general_dilated(
-                xg, w_aug, strides, padding, dimension_numbers=_DN,
-                batch_group_count=s, preferred_element_type=jnp.int32)
+                xo, wo_, strides, padding, dimension_numbers=_DN,
+                batch_group_count=s, preferred_element_type=acct)
             b, ho, wo = acc_all.shape[:3]
             acc_all = acc_all.reshape(b, ho, wo, s, cout + 1)
             acc = acc_all[..., :cout]

@@ -139,3 +139,23 @@ def test_codes_fit_int8_for_sub8_activations():
         for zp in range(0, a_hi + 1):
             u = q - zp
             assert u.min() >= -128 and u.max() <= 127
+
+
+def test_mc_group_conv_kernel_matches_per_sample():
+    """The Pallas fused MC conv (interpret mode) must be bit-identical to
+    the per-sample int_conv at 3x3/stride-1/pad-1."""
+    from qbn_tpu.ops.pallas.conv_gemm import mc_group_conv
+    rng = np.random.RandomState(11)
+    for s, b, h, cin, cout in ((3, 2, 8, 5, 7), (2, 3, 16, 24, 24)):
+        us = jnp.asarray(
+            rng.randint(-100, 101, (s, b, h, h, cin)).astype(np.int8))
+        ws = jnp.asarray(
+            rng.randint(-128, 128, (s, 3, 3, cin, cout)).astype(np.int8))
+        bias = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
+        got = mc_group_conv(us, 0.02, ws, 0.005, -9, bias, 0.03, 17,
+                            0, 127, relu=True, interpret=True)
+        want = jnp.stack([
+            int_conv(us[i], 0.02, 3, ws[i], 0.005, -9, bias, 0.03, 17,
+                     (1, 1), [(1, 1)] * 2, 0, 127, relu=True)
+            for i in range(s)])
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

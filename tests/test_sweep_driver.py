@@ -12,20 +12,42 @@ from experiments import sweep, average_results  # noqa: E402
 
 
 def test_quant_grid_cells(monkeypatch, tmp_path):
-    calls = []
+    calls, averaged = [], []
     monkeypatch.setattr(sweep, "run_main", lambda argv: calls.append(argv))
+    monkeypatch.setattr(sweep.average_results, "main",
+                        lambda argv: averaged.append(argv))
     sweep.main(["quant", "--methods", "bbb", "--tiers", "cifar",
-                "--load", "floatdir", "--out", str(tmp_path)])
-    # w in {8..3} at a=7, then a in {6..3} at w=8 — 10 cells
+                "--load", "floatdir-{seed}", "--seeds", "1",
+                "--out", str(tmp_path)])
+    # w in {8..3} at a=7, then a in {6..3} at w=8 — 10 cells x 1 seed
     assert len(calls) == 10
     pairs = []
     for argv in calls:
         a = argv[argv.index("--activation_precision") + 1]
         w = argv[argv.index("--weight_precision") + 1]
         pairs.append((int(a), int(w)))
-        assert argv[argv.index("--load") + 1] == "floatdir"
+        assert argv[argv.index("--load") + 1] == "floatdir-1"
     assert pairs == [(7, 8), (7, 7), (7, 6), (7, 5), (7, 4), (7, 3),
                      (6, 8), (5, 8), (4, 8), (3, 8)]
+    assert len(averaged) == 10  # one aggregation per cell
+
+
+def test_quant_grid_seeds_cells_and_default_load(monkeypatch, tmp_path):
+    calls, averaged = [], []
+    monkeypatch.setattr(sweep, "run_main", lambda argv: calls.append(argv))
+    monkeypatch.setattr(sweep.average_results, "main",
+                        lambda argv: averaged.append(argv))
+    sweep.main(["quant", "--methods", "bbb", "--tiers", "mnist",
+                "--seeds", "1", "2", "--cells", "a_7_w_8", "a_7_w_4",
+                "--out", str(tmp_path)])
+    assert len(calls) == 4  # 2 cells x 2 seeds
+    # default load = the float grid's own per-seed layout
+    loads = [argv[argv.index("--load") + 1] for argv in calls]
+    assert loads[0].endswith("bbb-mnist-seed1")
+    assert loads[1].endswith("bbb-mnist-seed2")
+    seeds = [argv[argv.index("--seed") + 1] for argv in calls]
+    assert seeds == ["1", "2", "1", "2"]
+    assert len(averaged) == 2
 
 
 def test_float_grid_seeds_and_average(monkeypatch, tmp_path):

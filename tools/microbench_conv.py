@@ -148,6 +148,14 @@ def main():
         return jnp.clip(q, 0, 127).astype(jnp.int8)
     timeit("feature_group_count conv + requant", fgc, xf, wg, flops=flops)
 
+    # 10. Pallas fused MC conv (implicit GEMM on s2d patches in VMEM)
+    from qbn_tpu.ops.pallas.conv_gemm import mc_group_conv
+
+    def pallas_mc(xs, w):
+        return mc_group_conv(xs, 0.02, w, 0.005, -5, None, 0.03, 17,
+                             0, 127, relu=True)
+    timeit("pallas mc_group_conv (fused)", pallas_mc, xs, w, flops=flops)
+
     # 6. bf16 comparison point (the MXU's native fast path)
     xb = x.astype(jnp.bfloat16)
     wb = w_merged.astype(jnp.bfloat16)
