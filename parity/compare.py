@@ -43,6 +43,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     lines = []
+    dlines = []
     worst = {}
     for pair in args.pairs:
         method, phase, ref_dir, ours_dir = pair.split(":")
@@ -60,19 +61,39 @@ def main(argv=None):
                 if delta is not None and metric in ("error", "ece"):
                     key = (metric,)
                     worst[key] = max(worst.get(key, 0.0), abs(delta))
+        for distortion in ("rotation", "shift", "brightness"):
+            for lvl in "01234":
+                for metric in ("error", "ece"):
+                    rv = ref.get(metric, {}).get(distortion, {}).get(lvl)
+                    ov = ours.get(metric, {}).get(distortion, {}).get(lvl)
+                    if rv is None or ov is None:
+                        continue
+                    dlines.append(
+                        f"| {method} | {phase} | {distortion} L{int(lvl)+1}"
+                        f" | {metric} | {fmt(rv)} | {fmt(ov)} "
+                        f"| {fmt(ov - rv)} |")
 
-    table = ["| method | phase | split | metric | reference (torch/CPU) "
-             "| qbn_tpu | delta (ours − ref) |",
-             "|---|---|---|---|---|---|---|"] + lines
+    header_row = ["| method | phase | split | metric "
+                  "| reference (torch/CPU) | qbn_tpu "
+                  "| delta (ours − ref) |",
+                  "|---|---|---|---|---|---|---|"]
+    table = header_row + lines
 
     hdr = ["# Accuracy/ECE parity: qbn_tpu vs the torch reference", ""]
     if args.preamble:
         hdr += [args.preamble, ""]
     summary = []
     for (metric,), v in sorted(worst.items()):
-        summary.append(f"- worst |delta {metric}| over all cells: "
-                       f"**{v:.4f}**")
-    out = "\n".join(hdr + table + [""] + summary) + "\n"
+        summary.append(f"- worst |delta {metric}| over all clean/OOD "
+                       f"cells: **{v:.4f}**")
+    dist_hdr = [
+        "", "## Distortion-shifted cells", "",
+        "Same distortion FAMILIES but independent implementations "
+        "(reference: PIL-shim transforms; qbn_tpu: numpy distortions), so "
+        "the inputs are not byte-identical — these rows show both stacks "
+        "degrade comparably, not an apples-to-apples model comparison.", ""]
+    out = "\n".join(hdr + table + [""] + summary
+                    + dist_hdr + header_row + dlines) + "\n"
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as fh:
         fh.write(out)

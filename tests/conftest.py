@@ -22,3 +22,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402  (already imported by sitecustomize anyway)
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: repeat suite runs skip XLA compiles (the
+# dominant cost on this single-core host; ~23 min cold, far less warm).
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".cache", "jax")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
