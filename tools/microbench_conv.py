@@ -148,6 +148,33 @@ def main():
         return jnp.clip(q, 0, 127).astype(jnp.int8)
     timeit("feature_group_count conv + requant", fgc, xf, wg, flops=flops)
 
+    # 11. s2d + batch_group_count + bf16 + requant-in-packed-domain:
+    #     contraction deepened 24 -> 96, all re-layouts int8
+    from qbn_tpu.ops.s2d import (pack_weights_s2d, space_to_depth,
+                                 depth_to_space)
+    wp_all = jax.vmap(lambda w1: pack_weights_s2d(w1, with_winsum=True))(w)
+    # (S, 2, 2, 4cin, 4cout+4) -> bgc filter layout (2, 2, 4cin, S*(4c+4))
+    wp_bgc = jnp.moveaxis(wp_all, 0, 3).reshape(
+        2, 2, 4 * CIN, S * (4 * COUT + 4)).astype(jnp.bfloat16)
+
+    def s2d_bgc(xs, wpb):
+        sb = S * B
+        xp = jnp.pad(xs.reshape(sb, H, W, CIN),
+                     ((0, 0), (1, 1), (1, 1), (0, 0)))
+        xq = space_to_depth(xp).astype(jnp.bfloat16)  # (S*B,17,17,96)
+        acc = lax.conv_general_dilated(
+            xq, wpb, (1, 1), "VALID", dimension_numbers=_DN,
+            batch_group_count=S, preferred_element_type=jnp.float32)
+        b2, ho, wo2 = acc.shape[:3]
+        acc = acc.reshape(b2, ho, wo2, S, 4 * COUT + 4)
+        w4 = jnp.repeat(acc[..., 4 * COUT:], COUT, axis=-1)
+        y = (acc[..., :4 * COUT] - 5.0 * w4) * 1e-4
+        q = jnp.clip(jnp.round(y) + 17, 0, 127).astype(jnp.int8)
+        q = jnp.moveaxis(q, 3, 0)                    # int8 transpose
+        return depth_to_space(
+            q.reshape(S * b2, ho, wo2, 4 * COUT), COUT)
+    timeit("s2d+bgc+bf16 packed conv", s2d_bgc, xs, wp_bgc, flops=flops)
+
     # 10. Pallas fused MC conv (implicit GEMM on s2d patches in VMEM)
     from qbn_tpu.ops.pallas.conv_gemm import mc_group_conv
 
