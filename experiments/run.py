@@ -21,9 +21,17 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+if os.environ.get("QBN_CPU"):
+    # Run this experiment on the host CPU (e.g. while the single TPU is
+    # busy). The axon relay's register hook clobbers JAX_PLATFORMS, so the
+    # only reliable switch is jax.config before first backend init.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 from qbn_tpu.config import Config  # noqa: E402
 from qbn_tpu.presets import preset  # noqa: E402

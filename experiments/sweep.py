@@ -45,8 +45,10 @@ def main(argv=None):
     p.add_argument("--out", default="sweeps")
     p.add_argument("--cells", nargs="*", default=None,
                    help="restrict the quant grid to cells 'a_A_w_W'")
-    p.add_argument("--extra", nargs="*", default=[],
-                   help="extra flags passed through to run.py")
+    p.add_argument("--extra", nargs=argparse.REMAINDER, default=[],
+                   help="extra flags passed through to run.py (captures "
+                        "everything after --extra, including --flags; put "
+                        "it last)")
     args = p.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
