@@ -31,7 +31,7 @@ def measure_tpu() -> float:
     import jax.numpy as jnp
     import numpy as np
     from __graft_entry__ import _flagship_int8
-    from qbn_tpu.evaluation.mc import mc_predict
+    from qbn_tpu.evaluation.mc import mc_predict, presample_plan
 
     # Non-degenerate weights: scaled means + real posterior stds so the
     # int8 logits spread across quantisation buckets and XLA cannot fold
@@ -43,21 +43,35 @@ def measure_tpu() -> float:
                            jnp.float32)
 
     # chunk the 100-sample axis to bound weight materialisation in HBM
-    chunk = 20
+    chunk = int(os.environ.get("QBN_BENCH_CHUNK", "20"))
     iters = 16  # chained inside ONE program: the remote-execution relay
     # makes per-call host timing unreliable (block_until_ready can return
     # early and per-call D2H fetches pay the full tunnel RTT); amortising
     # many chained predictions over a single fetch gives the honest number.
 
+    # presampling plan + merged channel layout: the production INT eval
+    # path (evaluation.mc auto-selects merged when the plan is present)
+    plan = presample_plan(variables)
+
     def predict(variables, x, key):
+        from qbn_tpu.evaluation.mc import draw_sampled_weights
+        k_w, key = jax.random.split(key)
+        # one bulk posterior draw for ALL samples; the scan consumes it
+        # chunk by chunk (leading axis (n_chunks, chunk, ...))
+        sampled = draw_sampled_weights(variables, plan, k_w, SAMPLES)
+        sampled = jax.tree.map(
+            lambda l: l.reshape((SAMPLES // chunk, chunk) + l.shape[1:]),
+            sampled)
         keys = jax.random.split(key, SAMPLES // chunk)
 
-        def body(carry, k):
+        def body(carry, sk):
+            s_tree, k = sk
             outs = mc_predict(model, variables, x, k, samples=chunk,
-                              mode="int")
+                              mode="int", plan=plan, presampled=s_tree)
             return carry + jnp.sum(outs, axis=0), 0.0
 
-        total, _ = jax.lax.scan(body, jnp.zeros((BATCH, 10)), keys)
+        total, _ = jax.lax.scan(body, jnp.zeros((BATCH, 10)),
+                                (sampled, keys))
         return total / SAMPLES
 
     @jax.jit

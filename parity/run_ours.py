@@ -28,7 +28,7 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--samples", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
-    p.add_argument("--extra", nargs="*", default=[])
+    p.add_argument("--extra", nargs=argparse.REMAINDER, default=[])
     args = p.parse_args(argv)
 
     import jax

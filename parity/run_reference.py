@@ -55,7 +55,7 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--samples", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
-    p.add_argument("--extra", nargs="*", default=[],
+    p.add_argument("--extra", nargs=argparse.REMAINDER, default=[],
                    help="extra raw flags passed to the reference script")
     args = p.parse_args(argv)
 

@@ -12,7 +12,7 @@ python parity/run_reference.py --method sgld --phase float --data $DATA \
 REF=$(ls -dt $W/ref_sgld/not_q-mnist-classification-* | head -1)
 python parity/run_reference.py --method sgld --phase qat --data $DATA \
     --workdir $W/ref_sgld --epochs 5 --samples 8 --load $REF \
-    --extra --burnin_epochs 8 > $W/ref_sgld_qat.log 2>&1
+    > $W/ref_sgld_qat.log 2>&1
 python parity/run_ours.py --method sgld --phase float --data $DATA \
     --workdir $W/ours_sgld --epochs 26 --samples 8 \
     --extra --burnin_epochs 8 > $W/ours_sgld_float.log 2>&1

@@ -36,8 +36,16 @@ def _one_sample(model, mode, variables, x, key):
     return out
 
 
+def merged_enabled() -> bool:
+    """Transpose-free merged-layout INT path (default ON; QBN_MERGED=off
+    reverts to the vmapped formulation)."""
+    import os
+    return os.environ.get("QBN_MERGED", "on") != "off"
+
+
 def mc_predict(model, variables, x, key, *, samples: int, mode: str,
-               ensemble: bool = False, plan=None):
+               ensemble: bool = False, plan=None, merged=None,
+               presampled=None):
     """All-samples predictive outputs.
 
     Args:
@@ -47,15 +55,33 @@ def mc_predict(model, variables, x, key, *, samples: int, mode: str,
         stochastic layer's per-sample weight codes up-front (one fused
         Pallas kernel per layer over ALL samples) instead of inside the
         vmapped forward.
+      merged: INT + plan only — run ONE forward in the merged channel
+        layout (B, H, W, S*C) instead of vmapping over samples: the
+        stochastic blocks see the full stacked 'sampled' axis and use
+        feature-grouped convs / batched dense (MergedQTensor), so the int8
+        sample-axis transpose of the vmapped lowering never exists
+        (~2x end-to-end, tools/microbench_fgc.py). None = auto.
     Returns stacked raw outputs with leading sample axis.
     """
     if ensemble:
         return jax.vmap(
             lambda v, k: _one_sample(model, mode, v, x, k),
             in_axes=(0, 0))(variables, jax.random.split(key, samples))
-    if plan and mode == "int":
-        k_w, key = jax.random.split(key)
-        sampled = draw_sampled_weights(variables, plan, k_w, samples)
+    if (plan or presampled is not None) and mode == "int":
+        if presampled is not None:
+            # weights already drawn by the caller (e.g. once for ALL
+            # samples, then chunked — saves re-drawing per chunk)
+            sampled = presampled
+        else:
+            k_w, key = jax.random.split(key)
+            sampled = draw_sampled_weights(variables, plan, k_w, samples)
+        if merged is None:
+            merged = merged_enabled()
+        if merged:
+            out = _one_sample(model, mode,
+                              {**variables, "sampled": sampled}, x, key)
+            # model outputs merged (B, S, ...): sample axis out front
+            return jax.tree.map(lambda o: jnp.moveaxis(o, 1, 0), out)
         keys = jax.random.split(key, samples)
         return jax.vmap(
             lambda s_tree, k: _one_sample(

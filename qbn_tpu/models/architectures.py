@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from qbn_tpu.models.layers import (
-    QuantConfig, QTensor, DenseBlock, ConvBlock, BernoulliDropout,
+    QuantConfig, QTensor, MergedQTensor, DenseBlock, ConvBlock,
+    BernoulliDropout,
     ResidualAdd, InputQuant, dequant, max_pool, avg_pool, flatten, relu,
 )
 
@@ -133,7 +134,12 @@ class BasicBlock(nn.Module):
     def __call__(self, x, *, train: bool = False, mode: str = "float",
                  update_stats: bool = False):
         kw = dict(train=train, mode=mode, update_stats=update_stats)
-        cin = x.codes.shape[-1] if isinstance(x, QTensor) else x.shape[-1]
+        if isinstance(x, MergedQTensor):
+            cin = x.codes.shape[-1] // x.s       # merged (B, H, W, S*cin)
+        elif isinstance(x, QTensor):
+            cin = x.codes.shape[-1]
+        else:
+            cin = x.shape[-1]
         out = ConvBlock(self.planes, (3, 3), (self.stride, self.stride),
                         padding=1, bn=True, relu=True,
                         stochastic=self.stochastic,

@@ -90,6 +90,25 @@ class QTensor:
     zp: jax.Array      # int32 scalar (uint8 convention)
 
 
+@flax.struct.dataclass
+class MergedQTensor:
+    """Quantised activations for ALL posterior samples in MERGED layout.
+
+    The transpose-free INT MC-evaluation representation: conv activations
+    are (B, H, W, S*C) int8 codes (sample-major channel groups), dense
+    activations (B, S, F). One per-layer scale/zp serves every sample
+    (observers are shared). Produced by the first stochastic block when
+    its presampled weights carry a leading sample axis; consumed by
+    feature-grouped convs / batched dense that preserve the layout
+    (qbn_tpu.ops.integer.int_conv_merged / int_dense_merged) — the int8
+    sample-axis transpose of the vmapped path never materialises.
+    """
+    codes: jax.Array   # int8, zero-point-removed codes
+    scale: jax.Array   # f32 scalar
+    zp: jax.Array      # int32 scalar
+    s: int = flax.struct.field(pytree_node=False, default=1)
+
+
 def quantize_codes(x, scale, zp, a_lo: int, a_hi: int):
     """Float -> zero-point-removed int8 codes clamped to the sub-8-bit
     bounds."""
@@ -183,8 +202,12 @@ class DenseBlock(nn.Module, QuantOps):
                  update_stats: bool = False):
         assert mode in MODES
         q = self.quant
-        in_features = (x.codes.shape[-1] if isinstance(x, QTensor)
-                       else x.shape[-1])
+        if isinstance(x, MergedQTensor):
+            in_features = x.codes.shape[-1]       # (B, S, F) dense layout
+        elif isinstance(x, QTensor):
+            in_features = x.codes.shape[-1]
+        else:
+            in_features = x.shape[-1]
         w_init = _bbb_weight_init if self.stochastic else _torch_linear_init
         kernel = self.param("kernel", w_init, (in_features, self.features))
         std = (self.param("std", nn.initializers.constant(self.std_init),
@@ -293,10 +316,35 @@ class DenseBlock(nn.Module, QuantOps):
         qc.value = entry
 
     # -- int ---------------------------------------------------------------
-    def _int_forward(self, x: QTensor, qc, bias):
+    def _int_forward(self, x, qc, bias):
         q = self.quant
         wb, ab = q.w_bounds, q.a_bounds
         presampled = self.get_variable("sampled", "w", None)
+        if (self.stochastic and presampled is not None
+                and presampled.ndim == 3):
+            # MERGED layout: presampled weights carry the full sample axis
+            # (S, F, O) — one batched GEMM computes every sample, layout-
+            # preserving (MergedQTensor; ops.integer.int_dense_merged)
+            from qbn_tpu.ops.integer import int_dense_merged
+            s = presampled.shape[0]
+            codes = int_dense_merged(
+                x.codes, x.scale, presampled, qc["add_scale"],
+                qc["add_zp"], bias, qc["act_scale"], qc["act_zp"],
+                ab[0], ab[1], relu=self.relu,
+                shared_x=isinstance(x, QTensor))
+            return MergedQTensor(codes, qc["act_scale"], qc["act_zp"], s=s)
+        if isinstance(x, MergedQTensor):
+            # merged activations through a deterministic dense: broadcast
+            # the shared weights over the sample groups
+            from qbn_tpu.ops.integer import int_dense_merged
+            w8 = qc["w_codes"].astype(jnp.int8)
+            codes = int_dense_merged(
+                x.codes, x.scale,
+                jnp.broadcast_to(w8, (x.s,) + w8.shape),
+                qc["w_scale"], qc["w_zp"], bias, qc["act_scale"],
+                qc["act_zp"], ab[0], ab[1], relu=self.relu)
+            return MergedQTensor(codes, qc["act_scale"], qc["act_zp"],
+                                 s=x.s)
         if self.stochastic and presampled is not None:
             # weights for this MC sample were drawn up-front (one fused
             # Pallas kernel over all samples, see evaluation.mc.presample)
@@ -362,7 +410,12 @@ class ConvBlock(nn.Module, QuantOps):
                  update_stats: bool = False):
         assert mode in MODES
         q = self.quant
-        cin = x.codes.shape[-1] if isinstance(x, QTensor) else x.shape[-1]
+        if isinstance(x, MergedQTensor):
+            cin = x.codes.shape[-1] // x.s        # (B, H, W, S*cin)
+        elif isinstance(x, QTensor):
+            cin = x.codes.shape[-1]
+        else:
+            cin = x.shape[-1]
         kshape = (*self.kernel_size, cin, self.features)
         w_init = _bbb_weight_init if self.stochastic else _torch_linear_init
         kernel = self.param("kernel", w_init, kshape)
@@ -530,10 +583,40 @@ class ConvBlock(nn.Module, QuantOps):
         qc.value = entry
 
     # -- int ---------------------------------------------------------------
-    def _int_forward(self, x: QTensor, qc):
+    def _int_forward(self, x, qc):
         q = self.quant
         wb, ab = q.w_bounds, q.a_bounds
         presampled = self.get_variable("sampled", "w", None)
+        if (self.stochastic and presampled is not None
+                and presampled.ndim == 5):
+            # MERGED layout: presampled weights carry the full sample axis
+            # (S, kh, kw, cin, cout) — one feature-grouped conv computes
+            # every sample with NO sample-axis transpose (MergedQTensor;
+            # ops.integer.int_conv_merged). The stem (shared QTensor input)
+            # enters the layout via the merged-N conv.
+            from qbn_tpu.ops.integer import int_conv_merged
+            s = presampled.shape[0]
+            codes = int_conv_merged(
+                x.codes, x.scale, presampled, qc["add_scale"],
+                qc["add_zp"], qc["bias_f"], qc["act_scale"], qc["act_zp"],
+                self.strides, [(self.padding, self.padding)] * 2,
+                ab[0], ab[1], relu=self.relu,
+                shared_x=isinstance(x, QTensor))
+            return MergedQTensor(codes, qc["act_scale"], qc["act_zp"], s=s)
+        if isinstance(x, MergedQTensor):
+            # merged activations through a deterministic conv: broadcast
+            # the shared weights over the sample groups
+            from qbn_tpu.ops.integer import int_conv_merged
+            w8 = qc["w_codes"].astype(jnp.int8)
+            codes = int_conv_merged(
+                x.codes, x.scale,
+                jnp.broadcast_to(w8, (x.s,) + w8.shape),
+                qc["w_scale"], qc["w_zp"], qc["bias_f"], qc["act_scale"],
+                qc["act_zp"], self.strides,
+                [(self.padding, self.padding)] * 2, ab[0], ab[1],
+                relu=self.relu)
+            return MergedQTensor(codes, qc["act_scale"], qc["act_zp"],
+                                 s=x.s)
         if self.stochastic and presampled is not None:
             w_codes = presampled.astype(jnp.int32)
             w_scale, w_zp = qc["add_scale"], qc["add_zp"]
@@ -673,7 +756,10 @@ class ResidualAdd(nn.Module, QuantOps):
         ab = self.quant.a_bounds
         total = (dequantize_codes(a.codes, a.scale)
                  + dequantize_codes(b.codes, b.scale))
-        return QTensor(quantize_codes(total, s, z, ab[0], ab[1]), s, z)
+        codes = quantize_codes(total, s, z, ab[0], ab[1])
+        if isinstance(a, MergedQTensor):
+            return MergedQTensor(codes, s, z, s=a.s)
+        return QTensor(codes, s, z)
 
 
 class InputQuant(nn.Module, QuantOps):
@@ -703,18 +789,24 @@ class InputQuant(nn.Module, QuantOps):
 
 
 def dequant(x):
-    """DeQuantStub equivalent: QTensor codes back to float32."""
-    if isinstance(x, QTensor):
+    """DeQuantStub equivalent: quantised codes back to float32.
+
+    MergedQTensor dense activations (B, S, F) dequantise to (B, S, F)
+    floats — the caller (evaluation.mc) moves the sample axis out front.
+    """
+    if isinstance(x, (QTensor, MergedQTensor)):
         return dequantize_codes(x.codes, x.scale)
     return x
 
 
 def max_pool(x, window: int = 2, stride: int = 2):
     """Max pool, mode-polymorphic: integer codes pool by max directly."""
-    if isinstance(x, QTensor):
+    if isinstance(x, (QTensor, MergedQTensor)):
         codes = lax.reduce_window(
             x.codes, jnp.int8(-128), lax.max,
             (1, window, window, 1), (1, stride, stride, 1), "VALID")
+        if isinstance(x, MergedQTensor):
+            return MergedQTensor(codes, x.scale, x.zp, s=x.s)
         return QTensor(codes, x.scale, x.zp)
     return nn.max_pool(x, (window, window), (stride, stride), "VALID")
 
@@ -722,17 +814,27 @@ def max_pool(x, window: int = 2, stride: int = 2):
 def avg_pool(x, window: int):
     """Average pool; integer codes average with round-to-nearest-even
     (FBGEMM quantised avg-pool keeps scale/zp and rounds)."""
-    if isinstance(x, QTensor):
+    if isinstance(x, (QTensor, MergedQTensor)):
         summed = lax.reduce_window(
             x.codes.astype(jnp.int32), 0, lax.add,
             (1, window, window, 1), (1, window, window, 1), "VALID")
         codes = jnp.round(summed.astype(jnp.float32)
                           / (window * window)).astype(jnp.int8)
+        if isinstance(x, MergedQTensor):
+            return MergedQTensor(codes, x.scale, x.zp, s=x.s)
         return QTensor(codes, x.scale, x.zp)
     return nn.avg_pool(x, (window, window), (window, window), "VALID")
 
 
 def flatten(x):
+    if isinstance(x, MergedQTensor):
+        # (B, H, W, S*C) -> per-sample flattening (B, S, H*W*C) so dense
+        # weights see the same feature order as the per-sample layout
+        b, h, w, sc = x.codes.shape
+        c = sc // x.s
+        codes = x.codes.reshape(b, h, w, x.s, c).transpose(0, 3, 1, 2, 4)
+        return MergedQTensor(codes.reshape(b, x.s, h * w * c),
+                             x.scale, x.zp, s=x.s)
     if isinstance(x, QTensor):
         return QTensor(x.codes.reshape(x.codes.shape[0], -1), x.scale, x.zp)
     return x.reshape(x.shape[0], -1)
@@ -742,7 +844,10 @@ def relu(x):
     """Standalone ReLU (e.g. after a residual add): on integer codes this is
     max(code, zero_point), with no new observer — matching the converted
     reference nets where a bare ReLU acts on the quantised tensor."""
-    if isinstance(x, QTensor):
+    if isinstance(x, (QTensor, MergedQTensor)):
         # zero-point-removed codes: q >= zp  <=>  u >= 0
-        return QTensor(jnp.maximum(x.codes, jnp.int8(0)), x.scale, x.zp)
+        codes = jnp.maximum(x.codes, jnp.int8(0))
+        if isinstance(x, MergedQTensor):
+            return MergedQTensor(codes, x.scale, x.zp, s=x.s)
+        return QTensor(codes, x.scale, x.zp)
     return jax.nn.relu(x)

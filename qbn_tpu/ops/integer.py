@@ -45,6 +45,22 @@ _DN = ("NHWC", "HWIO", "NHWC")
 # (tools/microbench_conv.py), so casting is a free win where exact.
 _BF16_EXACT_K = (1 << 24) // (127 * 127)
 
+# Stronger trick for shallow contractions: CENTER the weights instead of
+# correcting with a window-sum. |w - zw| <= 254 < 2^8 is still exact in
+# bf16, products |u (w - zw)| <= 127*254 are exact in f32, and the
+# accumulated integer stays exact while K * 127 * 254 < 2^24 (K <= 520) —
+# which covers the width-24/48 ResNet stages (K = 9*cin <= 432) and both
+# LeNet convs. The weight-zero-point correction then VANISHES: no
+# masked-ones channel, no winsum subtract, and the whole requant epilogue
+# fuses into the conv (measured ~1.6x on the stage-1 merged layer,
+# tools/microbench_merged_op.py).
+_BF16_CENTERED_K = (1 << 24) // (254 * 127)
+
+
+def _centered_weights(w8, w_zp):
+    """int8 weight codes -> EXACT bf16 centered weights (w - zw)."""
+    return (w8.astype(jnp.float32) - w_zp).astype(jnp.bfloat16)
+
 
 def _conv_operands(x8, w8, k: int):
     """Pick the fastest EXACT MXU dtype for an int8 conv contraction."""
@@ -52,6 +68,17 @@ def _conv_operands(x8, w8, k: int):
         return (x8.astype(jnp.bfloat16), w8.astype(jnp.bfloat16),
                 jnp.float32)
     return x8, w8, jnp.int32
+
+
+def _dot_operands(x8, w8, k: int):
+    """Like _conv_operands, for dot/einsum contractions. The CPU backend
+    cannot execute batched bf16 x bf16 -> f32 dots (DotThunk); f32
+    operands are equally exact for int8-valued codes under the same
+    2^24 accumulator bound."""
+    if k > _BF16_EXACT_K:
+        return x8, w8, jnp.int32
+    dt = (jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32)
+    return x8.astype(dt), w8.astype(dt), jnp.float32
 
 
 def _requant_out(acc_f32, bias, out_scale, out_zp, relu, a_lo, a_hi):
@@ -136,6 +163,13 @@ def int_dense(x_codes, x_scale, x_zp, w_codes, w_scale, w_zp, bias,
 def _int_conv_impl(x_codes, x_scale, w8, w_scale, w_zp, bias, out_scale,
                    out_zp, strides, padding, a_lo, a_hi, relu):
     kh, kw, cin, cout = w8.shape
+    if kh * kw * cin <= _BF16_CENTERED_K:
+        acc = lax.conv_general_dilated(
+            x_codes.astype(jnp.bfloat16), _centered_weights(w8, w_zp),
+            strides, padding, dimension_numbers=_DN,
+            preferred_element_type=jnp.float32)
+        return _requant_out(acc * (x_scale * w_scale), bias, out_scale,
+                            out_zp, relu, a_lo, a_hi)
     if cout % 128 != 0:
         # free winsum channel: cout+1 stays within the padded lane tile
         w_aug = jnp.concatenate(
@@ -183,21 +217,31 @@ def _conv_core(strides, padding, a_lo: int, a_hi: int, relu: bool):
 
         if wb and not xb and not any(rest):
             # shared activation (the first conv of the MC chain): all
-            # samples' outputs from ONE conv, N = S*cout; x window-sum is
-            # sample-independent -> one shared ones channel
+            # samples' outputs from ONE conv, N = S*cout
             _, kh, kw, cin, cout = w8.shape
             wm = jnp.moveaxis(w8, 0, 3).reshape(kh, kw, cin, s * cout)
-            w_aug = jnp.concatenate(
-                [wm, jnp.ones((kh, kw, cin, 1), jnp.int8)], axis=-1)
-            xo, wo_, acct = _conv_operands(x, w_aug, kh * kw * cin)
-            acc_all = lax.conv_general_dilated(
-                xo, wo_, strides, padding, dimension_numbers=_DN,
-                preferred_element_type=acct)
-            b, ho, wo = acc_all.shape[:3]
-            acc = acc_all[..., :s * cout].reshape(b, ho, wo, s, cout)
-            winsum = acc_all[..., s * cout:]        # (B, H', W', 1)
-            acc = acc - (wzp * winsum)[..., None]
-            acc_f = acc.astype(jnp.float32) * (xs * ws)
+            k = kh * kw * cin
+            if k <= _BF16_CENTERED_K:
+                # centered weights: no window-sum correction needed
+                acc = lax.conv_general_dilated(
+                    x.astype(jnp.bfloat16), _centered_weights(wm, wzp),
+                    strides, padding, dimension_numbers=_DN,
+                    preferred_element_type=jnp.float32)
+                b, ho, wo = acc.shape[:3]
+                acc_f = (acc.reshape(b, ho, wo, s, cout) * (xs * ws))
+            else:
+                # x window-sum is sample-independent -> one ones channel
+                w_aug = jnp.concatenate(
+                    [wm, jnp.ones((kh, kw, cin, 1), jnp.int8)], axis=-1)
+                xo, wo_, acct = _conv_operands(x, w_aug, k)
+                acc_all = lax.conv_general_dilated(
+                    xo, wo_, strides, padding, dimension_numbers=_DN,
+                    preferred_element_type=acct)
+                b, ho, wo = acc_all.shape[:3]
+                acc = acc_all[..., :s * cout].reshape(b, ho, wo, s, cout)
+                winsum = acc_all[..., s * cout:]    # (B, H', W', 1)
+                acc = acc - (wzp * winsum)[..., None]
+                acc_f = acc.astype(jnp.float32) * (xs * ws)
             out = _requant_out(acc_f, bias, os_, ozp, relu, a_lo, a_hi)
             return jnp.moveaxis(out, 3, 0), True    # int8 transpose
 
@@ -205,25 +249,38 @@ def _conv_core(strides, padding, a_lo: int, a_hi: int, relu: bool):
             # per-sample activations AND weights (deep MC layers): one
             # batch-grouped conv — batch group s (rows [s*B, (s+1)*B)) is
             # convolved with filter group s; measured ~2x over the default
-            # both-batched vmap lowering (tools/microbench_conv.py). Each
-            # group carries its own ones channel for the window-sum.
+            # both-batched vmap lowering (tools/microbench_conv.py).
             sb = x.shape[0] * x.shape[1]
             xg = x.reshape((sb,) + x.shape[2:])     # free: S-major
             _, kh, kw, cin, cout = w8.shape
             wm = jnp.moveaxis(w8, 0, 3)             # (kh, kw, cin, S, cout)
-            w_aug = jnp.concatenate(
-                [wm, jnp.ones((kh, kw, cin, s, 1), jnp.int8)],
-                axis=-1).reshape(kh, kw, cin, s * (cout + 1))
-            xo, wo_, acct = _conv_operands(xg, w_aug, kh * kw * cin)
-            acc_all = lax.conv_general_dilated(
-                xo, wo_, strides, padding, dimension_numbers=_DN,
-                batch_group_count=s, preferred_element_type=acct)
-            b, ho, wo = acc_all.shape[:3]
-            acc_all = acc_all.reshape(b, ho, wo, s, cout + 1)
-            acc = acc_all[..., :cout]
-            winsum = acc_all[..., cout:]            # per-sample window-sum
-            acc = acc - wzp * winsum
-            acc_f = acc.astype(jnp.float32) * (xs * ws)
+            k = kh * kw * cin
+            if k <= _BF16_CENTERED_K:
+                # centered weights: no window-sum correction needed
+                wc = _centered_weights(
+                    wm.reshape(kh, kw, cin, s * cout), wzp)
+                acc = lax.conv_general_dilated(
+                    xg.astype(jnp.bfloat16), wc, strides, padding,
+                    dimension_numbers=_DN, batch_group_count=s,
+                    preferred_element_type=jnp.float32)
+                b, ho, wo = acc.shape[:3]
+                acc_f = acc.reshape(b, ho, wo, s, cout) * (xs * ws)
+            else:
+                # each group carries its own ones channel for the
+                # window-sum
+                w_aug = jnp.concatenate(
+                    [wm, jnp.ones((kh, kw, cin, s, 1), jnp.int8)],
+                    axis=-1).reshape(kh, kw, cin, s * (cout + 1))
+                xo, wo_, acct = _conv_operands(xg, w_aug, k)
+                acc_all = lax.conv_general_dilated(
+                    xo, wo_, strides, padding, dimension_numbers=_DN,
+                    batch_group_count=s, preferred_element_type=acct)
+                b, ho, wo = acc_all.shape[:3]
+                acc_all = acc_all.reshape(b, ho, wo, s, cout + 1)
+                acc = acc_all[..., :cout]
+                winsum = acc_all[..., cout:]        # per-sample window-sum
+                acc = acc - wzp * winsum
+                acc_f = acc.astype(jnp.float32) * (xs * ws)
             out = _requant_out(acc_f, bias, os_, ozp, relu, a_lo, a_hi)
             return jnp.moveaxis(out, 3, 0), True    # int8 transpose
 
@@ -234,6 +291,101 @@ def _conv_core(strides, padding, a_lo: int, a_hi: int, relu: bool):
         )(x, xs, w8, ws, wzp, bias, os_, ozp), True
 
     return core
+
+
+def int_conv_merged(x_codes, x_scale, w_codes, w_scale, w_zp, bias,
+                    out_scale, out_zp, strides, padding,
+                    a_lo: int, a_hi: int, relu: bool = False,
+                    shared_x: bool = False):
+    """All-samples quantised conv in the MERGED channel layout.
+
+    The transpose-free MC evaluation path: activations stay
+    (B, H, W, S*C) for the whole network (the stem's merged conv
+    produces this layout and feature_group_count=S convs preserve it),
+    so the int8 sample-axis transpose that dominates the vmapped
+    formulation (3.4 ms/layer at stage-1 ResNet shapes,
+    tools/microbench_conv2.py) never exists.
+
+    Args:
+      x_codes: (B, H, W, S*cin) int8 zero-point-removed codes, or
+        (B, H, W, cin) when shared_x (the stem: one image, S weights).
+      w_codes: (S, kh, kw, cin, cout) int8 per-sample weight codes.
+    Returns (B, H', W', S*cout) int8 codes.
+
+    The weight-zero-point window sum rides the same conv as one
+    masked-ones output channel per group (per sample); the requant
+    epilogue runs on the (.., S, cout+1) view of the conv output, which
+    XLA keeps in-layout (no cross-lane movement).
+    """
+    s, kh, kw, cin, cout = w_codes.shape
+    w8 = w_codes.astype(jnp.int8)
+    k = kh * kw * cin
+    fgc = 1 if shared_x else s
+    if k <= _BF16_CENTERED_K:
+        # centered-weight path: the zero-point correction vanishes
+        wc = _centered_weights(
+            jnp.moveaxis(w8, 0, 3).reshape(kh, kw, cin, s * cout), w_zp)
+        acc = lax.conv_general_dilated(
+            x_codes.astype(jnp.bfloat16), wc, strides, padding,
+            dimension_numbers=_DN, feature_group_count=fgc,
+            preferred_element_type=jnp.float32)
+        b, ho, wo = acc.shape[:3]
+        acc = acc.reshape(b, ho, wo, s, cout)
+    else:
+        # deep contraction: int32-exact conv + masked-ones winsum channel
+        if shared_x:
+            wm = jnp.moveaxis(w8, 0, 3).reshape(kh, kw, cin, s * cout)
+            w_aug = jnp.concatenate(
+                [wm, jnp.ones((kh, kw, cin, 1), jnp.int8)], axis=-1)
+        else:
+            wm = jnp.moveaxis(w8, 0, 3)          # (kh, kw, cin, S, cout)
+            w_aug = jnp.concatenate(
+                [wm, jnp.ones((kh, kw, cin, s, 1), jnp.int8)],
+                axis=-1).reshape(kh, kw, cin, s * (cout + 1))
+        xo, wo_, acct = _conv_operands(x_codes, w_aug, k)
+        acc_all = lax.conv_general_dilated(
+            xo, wo_, strides, padding, dimension_numbers=_DN,
+            feature_group_count=fgc, preferred_element_type=acct)
+        b, ho, wo = acc_all.shape[:3]
+        if shared_x:
+            acc = acc_all[..., :s * cout].reshape(b, ho, wo, s, cout)
+            winsum = acc_all[..., s * cout:][..., None]  # (B,H',W',1,1)
+        else:
+            acc_all = acc_all.reshape(b, ho, wo, s, cout + 1)
+            acc = acc_all[..., :cout]
+            winsum = acc_all[..., cout:]
+        acc = acc.astype(jnp.float32) - w_zp * winsum.astype(jnp.float32)
+    acc_f = acc.astype(jnp.float32) * (x_scale * w_scale)
+    bias = jnp.zeros((cout,), jnp.float32) if bias is None else bias
+    out = _requant_out(acc_f, bias, out_scale, out_zp, relu, a_lo, a_hi)
+    return out.reshape(b, ho, wo, s * cout)
+
+
+def int_dense_merged(x_codes, x_scale, w_codes, w_scale, w_zp, bias,
+                     out_scale, out_zp, a_lo: int, a_hi: int,
+                     relu: bool = False, shared_x: bool = False):
+    """All-samples quantised dense in the merged layout.
+
+    Args:
+      x_codes: (B, S, F) int8 codes, or (B, F) when shared_x.
+      w_codes: (S, F, O) int8 per-sample weight codes.
+    Returns (B, S, O) int8 codes.
+    """
+    s, f, o = w_codes.shape
+    w8 = w_codes.astype(jnp.int8)
+    k = f
+    xo, wo_, acct = _dot_operands(x_codes, w8, k)
+    if shared_x:
+        acc = jnp.einsum("bf,sfo->bso", xo, wo_,
+                         preferred_element_type=acct)
+        rowsum = jnp.sum(x_codes.astype(jnp.int32), axis=-1)[:, None, None]
+    else:
+        acc = jnp.einsum("bsf,sfo->bso", xo, wo_,
+                         preferred_element_type=acct)
+        rowsum = jnp.sum(x_codes.astype(jnp.int32), axis=-1)[..., None]
+    acc_f = (acc - w_zp * rowsum).astype(jnp.float32) * (x_scale * w_scale)
+    bias = jnp.zeros((o,), jnp.float32) if bias is None else bias
+    return _requant_out(acc_f, bias, out_scale, out_zp, relu, a_lo, a_hi)
 
 
 def int_conv(x_codes, x_scale, x_zp, w_codes, w_scale, w_zp, bias,
