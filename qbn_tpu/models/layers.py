@@ -596,26 +596,26 @@ class ConvBlock(nn.Module, QuantOps):
             # enters the layout via the merged-N conv.
             from qbn_tpu.ops.integer import int_conv_merged
             s = presampled.shape[0]
-            codes = int_conv_merged(
+            out = int_conv_merged(
                 x.codes, x.scale, presampled, qc["add_scale"],
                 qc["add_zp"], qc["bias_f"], qc["act_scale"], qc["act_zp"],
                 self.strides, [(self.padding, self.padding)] * 2,
                 ab[0], ab[1], relu=self.relu,
                 shared_x=isinstance(x, QTensor))
-            return MergedQTensor(codes, qc["act_scale"], qc["act_zp"], s=s)
+            return MergedQTensor(out, qc["act_scale"], qc["act_zp"], s=s)
         if isinstance(x, MergedQTensor):
             # merged activations through a deterministic conv: broadcast
             # the shared weights over the sample groups
             from qbn_tpu.ops.integer import int_conv_merged
             w8 = qc["w_codes"].astype(jnp.int8)
-            codes = int_conv_merged(
+            out = int_conv_merged(
                 x.codes, x.scale,
                 jnp.broadcast_to(w8, (x.s,) + w8.shape),
                 qc["w_scale"], qc["w_zp"], qc["bias_f"], qc["act_scale"],
                 qc["act_zp"], self.strides,
                 [(self.padding, self.padding)] * 2, ab[0], ab[1],
                 relu=self.relu)
-            return MergedQTensor(codes, qc["act_scale"], qc["act_zp"],
+            return MergedQTensor(out, qc["act_scale"], qc["act_zp"],
                                  s=x.s)
         if self.stochastic and presampled is not None:
             w_codes = presampled.astype(jnp.int32)
@@ -749,13 +749,22 @@ class ResidualAdd(nn.Module, QuantOps):
                     s, z = self._qparams("add_act", self.quant.a_bounds)
                     qc.value = {"scale": s, "zp": z}
             return y
-        # int
+        # int: dequant both operands, add, requant. The optimization
+        # barriers stop XLA from SINKING each producing conv's requant
+        # epilogue out of the conv and into this add's fusion — without
+        # them the conv materialises its raw f32 accumulator (4x the int8
+        # bytes) and the requant re-reads it, measured at ~2x the whole
+        # block-tail cost at ResNet stage-1/2 shapes
+        # (tools/microbench_resadd.py; HLO evidence in tools/dump_hlo.py:
+        # 'convolution_multiply_fusion' emitting f32[256,32,32,480]).
         qc = self.variable("qconst", "q", lambda: _qc_placeholder(
             {"scale": "scalar_f", "zp": "scalar_i"}))
         s, z = qc.value["scale"], qc.value["zp"]
         ab = self.quant.a_bounds
-        total = (dequantize_codes(a.codes, a.scale)
-                 + dequantize_codes(b.codes, b.scale))
+        a_codes = lax.optimization_barrier(a.codes)
+        b_codes = lax.optimization_barrier(b.codes)
+        total = (dequantize_codes(a_codes, a.scale)
+                 + dequantize_codes(b_codes, b.scale))
         codes = quantize_codes(total, s, z, ab[0], ab[1])
         if isinstance(a, MergedQTensor):
             return MergedQTensor(codes, s, z, s=a.s)

@@ -17,10 +17,13 @@ u in [-127, 127]. Two consequences that make the int path one MXU op:
   * only the weight zero point zw remains:
         dense:  u . (w - zw) = dot(u, w) - zw * rowsum(u)
         conv:   u * (w - zw) = conv(u, w) - zw * winsum(u)
-    and winsum rides the SAME conv by appending one all-ones output
-    channel to the weights — cout is padded to the 128-lane MXU tile
-    anyway, so the extra channel is free (guarded for exact multiples
-    of 128, where it would add a tile).
+    where winsum comes from a SEPARATE one-output-channel ones conv
+    (negligible MXU work). Appending the ones channel to the main conv
+    would share the MXU pass but the output slice breaks the conv's
+    requant output fusion on TPU — the raw f32/s32 accumulator (4x the
+    int8 bytes) materialises in HBM (tools/dump_hlo.py evidence).
+    Where the contraction is shallow enough the weights are instead
+    CENTERED in exact bf16 and the correction vanishes entirely.
 
 Requantisation: q_out = clamp(round((acc*sx*sw + bias)/sy) + zy, 0, 255),
 quantised ReLU = max(q, zy), then the sub-8-bit clamp (reference
@@ -170,25 +173,18 @@ def _int_conv_impl(x_codes, x_scale, w8, w_scale, w_zp, bias, out_scale,
             preferred_element_type=jnp.float32)
         return _requant_out(acc * (x_scale * w_scale), bias, out_scale,
                             out_zp, relu, a_lo, a_hi)
-    if cout % 128 != 0:
-        # free winsum channel: cout+1 stays within the padded lane tile
-        w_aug = jnp.concatenate(
-            [w8, jnp.ones((kh, kw, cin, 1), jnp.int8)], axis=-1)
-        xo, wo_, acct = _conv_operands(x_codes, w_aug, kh * kw * cin)
-        acc_all = lax.conv_general_dilated(
-            xo, wo_, strides, padding, dimension_numbers=_DN,
-            preferred_element_type=acct)
-        acc = acc_all[..., :cout]
-        winsum = acc_all[..., cout:cout + 1]
-    else:
-        xo, wo_, acct = _conv_operands(x_codes, w8, kh * kw * cin)
-        acc = lax.conv_general_dilated(
-            xo, wo_, strides, padding, dimension_numbers=_DN,
-            preferred_element_type=acct)
-        ones_k = jnp.ones((kh, kw, cin, 1), wo_.dtype)
-        winsum = lax.conv_general_dilated(
-            xo, ones_k, strides, padding, dimension_numbers=_DN,
-            preferred_element_type=acct)
+    # SEPARATE one-channel window-sum conv: an appended ones channel
+    # would share the MXU pass, but slicing the (cout+1)-channel output
+    # forces the raw accumulator to materialise and the requant cannot
+    # fuse into the conv (see int_conv_merged's deep branch).
+    xo, wo_, acct = _conv_operands(x_codes, w8, kh * kw * cin)
+    acc = lax.conv_general_dilated(
+        xo, wo_, strides, padding, dimension_numbers=_DN,
+        preferred_element_type=acct)
+    ones_k = jnp.ones((kh, kw, cin, 1), wo_.dtype)
+    winsum = lax.conv_general_dilated(
+        xo, ones_k, strides, padding, dimension_numbers=_DN,
+        preferred_element_type=acct)
     acc_f = (acc - w_zp * winsum).astype(jnp.float32) * (x_scale * w_scale)
     return _requant_out(acc_f, bias, out_scale, out_zp, relu, a_lo, a_hi)
 
@@ -230,16 +226,19 @@ def _conv_core(strides, padding, a_lo: int, a_hi: int, relu: bool):
                 b, ho, wo = acc.shape[:3]
                 acc_f = (acc.reshape(b, ho, wo, s, cout) * (xs * ws))
             else:
-                # x window-sum is sample-independent -> one ones channel
-                w_aug = jnp.concatenate(
-                    [wm, jnp.ones((kh, kw, cin, 1), jnp.int8)], axis=-1)
-                xo, wo_, acct = _conv_operands(x, w_aug, k)
-                acc_all = lax.conv_general_dilated(
+                # x window-sum is sample-independent -> one separate
+                # 1-channel winsum conv (an appended channel would break
+                # the conv's requant output fusion — see _int_conv_impl)
+                xo, wo_, acct = _conv_operands(x, wm, k)
+                acc = lax.conv_general_dilated(
                     xo, wo_, strides, padding, dimension_numbers=_DN,
                     preferred_element_type=acct)
-                b, ho, wo = acc_all.shape[:3]
-                acc = acc_all[..., :s * cout].reshape(b, ho, wo, s, cout)
-                winsum = acc_all[..., s * cout:]    # (B, H', W', 1)
+                b, ho, wo = acc.shape[:3]
+                acc = acc.reshape(b, ho, wo, s, cout)
+                ones_k = jnp.ones((kh, kw, cin, 1), wo_.dtype)
+                winsum = lax.conv_general_dilated(
+                    xo, ones_k, strides, padding, dimension_numbers=_DN,
+                    preferred_element_type=acct)      # (B, H', W', 1)
                 acc = acc - (wzp * winsum)[..., None]
                 acc_f = acc.astype(jnp.float32) * (xs * ws)
             out = _requant_out(acc_f, bias, os_, ozp, relu, a_lo, a_hi)
@@ -266,20 +265,21 @@ def _conv_core(strides, padding, a_lo: int, a_hi: int, relu: bool):
                 b, ho, wo = acc.shape[:3]
                 acc_f = acc.reshape(b, ho, wo, s, cout) * (xs * ws)
             else:
-                # each group carries its own ones channel for the
-                # window-sum
-                w_aug = jnp.concatenate(
-                    [wm, jnp.ones((kh, kw, cin, s, 1), jnp.int8)],
-                    axis=-1).reshape(kh, kw, cin, s * (cout + 1))
-                xo, wo_, acct = _conv_operands(xg, w_aug, k)
-                acc_all = lax.conv_general_dilated(
+                # per-sample window-sums from a separate batch-grouped
+                # 1-channel-per-group conv (an appended channel would
+                # break the conv's requant output fusion)
+                wg = wm.reshape(kh, kw, cin, s * cout)
+                xo, wo_, acct = _conv_operands(xg, wg, k)
+                acc = lax.conv_general_dilated(
                     xo, wo_, strides, padding, dimension_numbers=_DN,
                     batch_group_count=s, preferred_element_type=acct)
-                b, ho, wo = acc_all.shape[:3]
-                acc_all = acc_all.reshape(b, ho, wo, s, cout + 1)
-                acc = acc_all[..., :cout]
-                winsum = acc_all[..., cout:]        # per-sample window-sum
-                acc = acc - wzp * winsum
+                b, ho, wo = acc.shape[:3]
+                acc = acc.reshape(b, ho, wo, s, cout)
+                ones_k = jnp.ones((kh, kw, cin, s), wo_.dtype)
+                winsum = lax.conv_general_dilated(
+                    xo, ones_k, strides, padding, dimension_numbers=_DN,
+                    batch_group_count=s, preferred_element_type=acct)
+                acc = acc - wzp * winsum[..., None]  # (B,H',W',S) bcast
                 acc_f = acc.astype(jnp.float32) * (xs * ws)
             out = _requant_out(acc_f, bias, os_, ozp, relu, a_lo, a_hi)
             return jnp.moveaxis(out, 3, 0), True    # int8 transpose
@@ -312,15 +312,28 @@ def int_conv_merged(x_codes, x_scale, w_codes, w_scale, w_zp, bias,
       w_codes: (S, kh, kw, cin, cout) int8 per-sample weight codes.
     Returns (B, H', W', S*cout) int8 codes.
 
-    The weight-zero-point window sum rides the same conv as one
-    masked-ones output channel per group (per sample); the requant
-    epilogue runs on the (.., S, cout+1) view of the conv output, which
-    XLA keeps in-layout (no cross-lane movement).
+    The weight-zero-point window sum (deep-contraction path only) comes
+    from a separate one-channel-per-group ones conv so the main conv's
+    requant epilogue stays fusable; shallow contractions use centered
+    bf16 weights and need no correction at all.
     """
     s, kh, kw, cin, cout = w_codes.shape
     w8 = w_codes.astype(jnp.int8)
     k = kh * kw * cin
     fgc = 1 if shared_x else s
+    # FUSION CONTRACT (HLO evidence via tools/dump_hlo.py): the requant
+    # epilogue only fuses into the conv when it runs in the conv's
+    # NATIVE output view — 4-D (B,H',W',S*cout) for an ungrouped conv,
+    # 5-D (B,H',W',S,cout) for feature_group_count=S (which TPU lowers
+    # as a base-dilated conv with the group axis as a third window dim).
+    # A view change between conv and requant becomes a bitcast the conv
+    # output fusion refuses to cross, and the raw f32 accumulator then
+    # materialises at 4x the int8 bytes. The optimization_barrier before
+    # the final flatten stops XLA's reshape-mover from hoisting that
+    # flatten INTO the epilogue when more elementwise ops (a residual
+    # add) follow downstream — exactly the rebasing that caused the f32
+    # materialisation.
+    bias = jnp.zeros((cout,), jnp.float32) if bias is None else bias
     if k <= _BF16_CENTERED_K:
         # centered-weight path: the zero-point correction vanishes
         wc = _centered_weights(
@@ -330,34 +343,48 @@ def int_conv_merged(x_codes, x_scale, w_codes, w_scale, w_zp, bias,
             dimension_numbers=_DN, feature_group_count=fgc,
             preferred_element_type=jnp.float32)
         b, ho, wo = acc.shape[:3]
-        acc = acc.reshape(b, ho, wo, s, cout)
-    else:
-        # deep contraction: int32-exact conv + masked-ones winsum channel
-        if shared_x:
-            wm = jnp.moveaxis(w8, 0, 3).reshape(kh, kw, cin, s * cout)
-            w_aug = jnp.concatenate(
-                [wm, jnp.ones((kh, kw, cin, 1), jnp.int8)], axis=-1)
+        if fgc > 1:
+            acc = acc.reshape(b, ho, wo, s, cout)       # native 5-D view
+            acc_f = acc * (x_scale * w_scale)
+            out = _requant_out(acc_f, bias, out_scale, out_zp, relu,
+                               a_lo, a_hi)
         else:
-            wm = jnp.moveaxis(w8, 0, 3)          # (kh, kw, cin, S, cout)
-            w_aug = jnp.concatenate(
-                [wm, jnp.ones((kh, kw, cin, s, 1), jnp.int8)],
-                axis=-1).reshape(kh, kw, cin, s * (cout + 1))
-        xo, wo_, acct = _conv_operands(x_codes, w_aug, k)
-        acc_all = lax.conv_general_dilated(
+            acc_f = acc * (x_scale * w_scale)           # native 4-D view
+            out = _requant_out(acc_f, jnp.tile(bias, s), out_scale,
+                               out_zp, relu, a_lo, a_hi)
+    else:
+        # Deep contraction: exact conv + SEPARATE one-channel-per-group
+        # window-sum conv. An appended ones channel would ride the same
+        # MXU pass "for free", but slicing the (cout+1)-channel output
+        # breaks the conv's output fusion the same way a view change
+        # does; the winsum conv contracts K x 1 instead of K x cout —
+        # negligible MXU work — and enters the epilogue as a small
+        # broadcast operand.
+        wm = jnp.moveaxis(w8, 0, 3).reshape(kh, kw, cin, s * cout)
+        xo, wo_, acct = _conv_operands(x_codes, wm, k)
+        acc = lax.conv_general_dilated(
             xo, wo_, strides, padding, dimension_numbers=_DN,
             feature_group_count=fgc, preferred_element_type=acct)
-        b, ho, wo = acc_all.shape[:3]
-        if shared_x:
-            acc = acc_all[..., :s * cout].reshape(b, ho, wo, s, cout)
-            winsum = acc_all[..., s * cout:][..., None]  # (B,H',W',1,1)
+        b, ho, wo = acc.shape[:3]
+        n_ws = 1 if shared_x else s
+        ones_k = jnp.ones((kh, kw, cin, n_ws), wo_.dtype)
+        winsum = lax.conv_general_dilated(
+            xo, ones_k, strides, padding, dimension_numbers=_DN,
+            feature_group_count=fgc, preferred_element_type=acct)
+        if fgc > 1:
+            acc = acc.reshape(b, ho, wo, s, cout)       # native 5-D view
+            acc_f = (acc.astype(jnp.float32)
+                     - w_zp * winsum.astype(jnp.float32)[..., None]
+                     ) * (x_scale * w_scale)
+            out = _requant_out(acc_f, bias, out_scale, out_zp, relu,
+                               a_lo, a_hi)
         else:
-            acc_all = acc_all.reshape(b, ho, wo, s, cout + 1)
-            acc = acc_all[..., :cout]
-            winsum = acc_all[..., cout:]
-        acc = acc.astype(jnp.float32) - w_zp * winsum.astype(jnp.float32)
-    acc_f = acc.astype(jnp.float32) * (x_scale * w_scale)
-    bias = jnp.zeros((cout,), jnp.float32) if bias is None else bias
-    out = _requant_out(acc_f, bias, out_scale, out_zp, relu, a_lo, a_hi)
+            acc_f = (acc.astype(jnp.float32)
+                     - w_zp * winsum.astype(jnp.float32)
+                     ) * (x_scale * w_scale)            # native 4-D view
+            out = _requant_out(acc_f, jnp.tile(bias, s), out_scale,
+                               out_zp, relu, a_lo, a_hi)
+    out = lax.optimization_barrier(out)
     return out.reshape(b, ho, wo, s * cout)
 
 
@@ -392,9 +419,9 @@ def int_conv(x_codes, x_scale, x_zp, w_codes, w_scale, w_zp, bias,
              out_scale, out_zp, strides, padding,
              a_lo: int, a_hi: int, relu: bool = False):
     """Quantised 2-D conv on zero-point-removed int8 codes (NHWC / HWIO):
-    one int8 x int8 MXU conv; the weight-zero-point window-sum is carried
-    as an appended all-ones output channel. Under vmap over per-sample
-    weights, all samples merge into one conv (see _conv_core)."""
+    one MXU conv (+ a separate 1-channel winsum conv on the deep path).
+    Under vmap over per-sample weights, all samples merge into one conv
+    (see _conv_core)."""
     core = _conv_core(tuple(strides), tuple(tuple(p) for p in padding),
                       int(a_lo), int(a_hi), bool(relu))
     bias = jnp.zeros((w_codes.shape[-1],), jnp.float32) if bias is None \

@@ -97,6 +97,15 @@ def preset(method: str, tier: str, phase: str = "float",
             epochs=10,
             at=True, q=True,
             lr_schedule="cosine",
+            # the QAT runner scripts all default to 'batch' scaling with
+            # no multiplier, INCLUDING sgld whose float phase uses
+            # 'whole' (+multiplier) — those must not leak into the
+            # fine-tune (reference: sgld/quantised/train/sgld_mnist.py:32
+            # vs sgld/float/sgld_mnist.py:30; a leaked 'whole' scales
+            # gradients by the dataset/batch ratio and collapses the
+            # snapshot fine-tunes)
+            loss_scaling="batch",
+            loss_multiplier=1.0,
         )
         if method == "bbb":
             kw["gamma"] = 0.0

@@ -30,6 +30,13 @@ def test_preset_table_complete():
                 assert cfg.method == method
                 if phase == "qat":
                     assert cfg.at and cfg.q and cfg.epochs == 10
+                    # the sgld float 'whole' scaling (+multiplier) must
+                    # not leak into the SGD fine-tune (reference QAT
+                    # scripts default to 'batch'; a leaked 'whole'
+                    # collapses the snapshot fine-tunes)
+                    assert cfg.loss_scaling == "batch"
+                    assert cfg.loss_multiplier == 1.0
+                    assert cfg.optimizer == "sgd"
 
 
 def test_float_then_qat_classification(tmp_path):
