@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Render the presentation-layer figures from a sweep output tree.
+
+Consumes the `experiments/sweep.py` directory layout
+(`<root>/<method>-<dataset>-avg` float summaries and
+`<root>/<method>-<dataset>-<cell>-avg` quantised summaries) and writes
+the three published-figure formats of the reference paper
+(reference: experiments/presentation/{plot_candlesticks,plot_continous,
+plot_distorted}.py): candlestick grids, distortion grids, and
+bitwidth-sweep lines, per metric.
+
+Usage:
+  python tools/make_grid_plots.py /tmp/minigrid/sweeps --dataset mnist \
+      --out examples/minigrid --cells a_7_w_8 a_7_w_4 a_4_w_8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from qbn_tpu.evaluation.presentation import (  # noqa: E402
+    load_summary, plot_bitwidth_lines, plot_candlestick_grid,
+    plot_distortion_grid,
+)
+
+METHODS = ("pointwise", "mcdropout", "bbb", "sgld")
+METRICS = ("error", "ece", "nll", "entropy")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("sweep-tree presentation plots")
+    p.add_argument("root", help="sweep output root (the sweeps/ dir)")
+    p.add_argument("--dataset", default="mnist")
+    p.add_argument("--out", required=True)
+    p.add_argument("--cells", nargs="*", default=None,
+                   help="quant cells for the bitwidth plot (default: "
+                        "every *-<cell>-avg dir found)")
+    p.add_argument("--metrics", nargs="*", default=list(METRICS))
+    args = p.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+
+    float_res, quant_res = {}, {}
+    for m in METHODS:
+        d = os.path.join(args.root, f"{m}-{args.dataset}-avg")
+        if os.path.isdir(d):
+            float_res[m] = load_summary(d)
+        cells = {}
+        prefix = f"{m}-{args.dataset}-"
+        for name in sorted(os.listdir(args.root)):
+            if (name.startswith(prefix) and name.endswith("-avg")
+                    and name != f"{m}-{args.dataset}-avg"):
+                cells[name[len(prefix):-4]] = load_summary(
+                    os.path.join(args.root, name))
+        if cells:
+            quant_res[m] = cells
+    if not float_res:
+        p.error(f"no <method>-{args.dataset}-avg dirs under {args.root}")
+    cell_names = args.cells or sorted(
+        {c for cells in quant_res.values() for c in cells})
+
+    wrote = []
+    for metric in args.metrics:
+        f = os.path.join(args.out, f"candlestick_{metric}_float.png")
+        plot_candlestick_grid(float_res, metric, f)
+        wrote.append(f)
+        f = os.path.join(args.out, f"distortion_{metric}_float.png")
+        plot_distortion_grid(float_res, metric, f)
+        wrote.append(f)
+        if quant_res:
+            f = os.path.join(args.out, f"bitwidth_{metric}.png")
+            plot_bitwidth_lines(float_res, quant_res, metric, "test", f,
+                                cells=cell_names)
+            wrote.append(f)
+            # candlesticks at the INT8 cell too (the paper's main grid)
+            int8 = {m: cells[cell_names[0]] for m, cells in
+                    quant_res.items() if cell_names[0] in cells}
+            if int8:
+                f = os.path.join(args.out,
+                                 f"candlestick_{metric}_int8.png")
+                plot_candlestick_grid(int8, metric, f)
+                wrote.append(f)
+    for f in wrote:
+        print("wrote", f)
+
+
+if __name__ == "__main__":
+    main()
