@@ -47,19 +47,27 @@ _FLOAT: Dict[tuple, dict] = {
                            gamma=0.1, sigma_prior=0.1, samples=20),
     ("bbb", "cifar"): dict(learning_rate=1e-3, epochs=300, batch_size=256,
                            gamma=0.01, sigma_prior=0.05, samples=20),
+    # SGLD float runners pass scheduler=None — CONSTANT lr, unlike every
+    # other method's CosineAnnealingLR. The SGHMC noise scales with lr,
+    # so a leaked cosine decay collapses late-snapshot diversity (measured:
+    # OOD entropy 0.24 vs the reference's 0.67 on the parity cell)
+    # (reference: sgld/float/sgld_mnist.py:111 scheduler = None).
     ("sgld", "regression"): dict(learning_rate=1e-2, epochs=300,
                                  batch_size=128, optimizer="sghmc",
+                                 lr_schedule="constant",
                                  loss_scaling="whole", loss_multiplier=2.0,
                                  burnin_epochs=200,
                                  resample_momentum_iterations=10,
                                  resample_prior_iterations=5, samples=7),
     ("sgld", "mnist"): dict(learning_rate=1e-2, epochs=100, batch_size=256,
-                            optimizer="sghmc", loss_scaling="whole",
+                            optimizer="sghmc", lr_schedule="constant",
+                            loss_scaling="whole",
                             loss_multiplier=1.0, burnin_epochs=20,
                             resample_momentum_iterations=50,
                             resample_prior_iterations=15, samples=7),
     ("sgld", "cifar"): dict(learning_rate=1e-2, epochs=300, batch_size=256,
-                            optimizer="sghmc", loss_scaling="whole",
+                            optimizer="sghmc", lr_schedule="constant",
+                            loss_scaling="whole",
                             loss_multiplier=16.0, burnin_epochs=200,
                             resample_momentum_iterations=50,
                             resample_prior_iterations=25, samples=7),

@@ -28,6 +28,14 @@ def test_preset_table_complete():
             for phase in ("float", "qat"):
                 cfg = preset(method, tier, phase)
                 assert cfg.method == method
+                # SGLD float runners use scheduler=None (constant lr:
+                # the SGHMC step noise must not decay with a leaked
+                # cosine schedule); every other cell is cosine
+                # (reference: sgld/float/sgld_mnist.py:111 vs
+                # bbb/float/bbb_mnist.py:109)
+                want_sched = ("constant" if method == "sgld"
+                              and phase == "float" else "cosine")
+                assert cfg.lr_schedule == want_sched, (method, tier, phase)
                 if phase == "qat":
                     assert cfg.at and cfg.q and cfg.epochs == 10
                     # the sgld float 'whole' scaling (+multiplier) must
