@@ -28,9 +28,9 @@ import jax
 import jax.numpy as jnp
 
 from qbn_tpu.models.layers import (
-    QuantConfig, QTensor, MergedQTensor, DenseBlock, ConvBlock,
-    BernoulliDropout,
-    ResidualAdd, InputQuant, dequant, max_pool, avg_pool, flatten, relu,
+    QuantConfig, QTensor, MergedQTensor, PackedQTensor, DenseBlock,
+    ConvBlock, BernoulliDropout, ResidualAdd, InputQuant, dequant,
+    max_pool, avg_pool, flatten, fused_resadd_enabled,
 )
 
 
@@ -134,7 +134,9 @@ class BasicBlock(nn.Module):
     def __call__(self, x, *, train: bool = False, mode: str = "float",
                  update_stats: bool = False):
         kw = dict(train=train, mode=mode, update_stats=update_stats)
-        if isinstance(x, MergedQTensor):
+        if isinstance(x, PackedQTensor):
+            cin = x.channels                     # packed (B,hb,wb,S*4*cin)
+        elif isinstance(x, MergedQTensor):
             cin = x.codes.shape[-1] // x.s       # merged (B, H, W, S*cin)
         elif isinstance(x, QTensor):
             cin = x.codes.shape[-1]
@@ -148,10 +150,17 @@ class BasicBlock(nn.Module):
         if self.dropout_p > 0:
             out = BernoulliDropout(self.dropout_p, self.quant,
                                    name="drop_0")(out, **kw)
+        # int+merged: defer conv_bn's requant so ResidualAdd+relu run
+        # inside its conv epilogue (no HBM round-trip of the conv's int8
+        # output; qbn_tpu.models.layers.DeferredMergedConv). Dropout
+        # between conv and add needs materialised codes, so no deferral.
+        defer = (mode == "int" and self.dropout_p == 0
+                 and fused_resadd_enabled())
         out = ConvBlock(self.planes, (3, 3), (1, 1), padding=1, bn=True,
                         stochastic=self.stochastic,
                         sigma_prior=self.sigma_prior, std_init=-10.0,
-                        quant=self.quant, name="conv_bn")(out, **kw)
+                        quant=self.quant, name="conv_bn")(
+                            out, defer_residual=defer, **kw)
         if self.dropout_p > 0:
             out = BernoulliDropout(self.dropout_p, self.quant,
                                    name="drop_1")(out, **kw)
@@ -166,9 +175,8 @@ class BasicBlock(nn.Module):
             if self.dropout_p > 0:
                 shortcut = BernoulliDropout(self.dropout_p, self.quant,
                                             name="drop_sc")(shortcut, **kw)
-        out = ResidualAdd(self.quant, name="add")(
+        return ResidualAdd(self.quant, relu=True, name="add")(
             out, shortcut, mode=mode, update_stats=update_stats)
-        return relu(out)
 
 
 class ResNet(nn.Module):
@@ -184,19 +192,37 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, mode: str = "float",
-                 update_stats: bool = False):
+                 update_stats: bool = False, up_to: str = None):
         kw = dict(train=train, mode=mode, update_stats=update_stats)
         dkw = dict(mode=mode, update_stats=update_stats)
         x = InputQuant(self.quant, name="input_quant")(x, **dkw)
+        # Stage-resident s2d (qbn_tpu.ops.s2d_merged): the stem emits
+        # (up_to: benchmarking-only truncation point — 'stem',
+        # 'stage0'..'stage3', 'pool' return the intermediate there so
+        # tools/microbench_stages.py can attribute wall time)
+        # the phi packing directly in int+merged mode, the width-24
+        # stage runs packed (24/128 -> 96/128 MXU lanes), and the stage
+        # exit unpacks once. Only legal when stage 0 is all stride-1
+        # same-width blocks with no dropout between convs.
+        pack_stage0 = (self.dropout_p == 0 and self.strides[0] == 1)
         x = ConvBlock(self.widths[0], (3, 3), (1, 1), padding=1, bn=True,
                       relu=True, stochastic=self.stochastic,
                       sigma_prior=self.sigma_prior, std_init=-10.0,
-                      quant=self.quant, name="stem")(x, **kw)
+                      quant=self.quant, name="stem",
+                      s2d_pack_output=pack_stage0)(x, **kw)
         if self.dropout_p > 0:
             x = BernoulliDropout(self.dropout_p, self.quant,
                                  name="drop_stem")(x, **kw)
+        if up_to == "stem":
+            return x
         for s, (planes, blocks, stride) in enumerate(
                 zip(self.widths, self.num_blocks, self.strides)):
+            if isinstance(x, PackedQTensor) and (planes != self.widths[0]
+                                                 or stride != 1):
+                from qbn_tpu.ops.s2d_merged import unpack_phi
+                assert x.parity == "phi"
+                x = MergedQTensor(unpack_phi(x.codes, x.s), x.scale,
+                                  x.zp, s=x.s)
             for b in range(blocks):
                 x = BasicBlock(planes, stride if b == 0 else 1,
                                stochastic=self.stochastic,
@@ -204,8 +230,17 @@ class ResNet(nn.Module):
                                sigma_prior=self.sigma_prior,
                                quant=self.quant,
                                name=f"stage{s}_block{b}")(x, **kw)
+            if up_to == f"stage{s}":
+                return x
+        if isinstance(x, PackedQTensor):
+            from qbn_tpu.ops.s2d_merged import unpack_phi
+            assert x.parity == "phi"
+            x = MergedQTensor(unpack_phi(x.codes, x.s), x.scale, x.zp,
+                              s=x.s)
         x = avg_pool(x, 4)
         x = flatten(x)
+        if up_to == "pool":
+            return x
         x = DenseBlock(self.output_size, use_bias=False,
                        stochastic=self.stochastic,
                        sigma_prior=self.sigma_prior, std_init=-3.0,

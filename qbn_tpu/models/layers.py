@@ -109,6 +109,66 @@ class MergedQTensor:
     s: int = flax.struct.field(pytree_node=False, default=1)
 
 
+@flax.struct.dataclass
+class PackedQTensor:
+    """Merged-layout activations in the stage-resident space-to-depth
+    packing (qbn_tpu.ops.s2d_merged): codes (B, hb, wb, S*4*C) int8 with
+    2x2 spatial blocks folded into channels, parity 'phi' (block = rows
+    2b,2b+1) or 'psi' (block = rows 2a-1,2a; one extra block of
+    zero-masked out-of-image border). Lifts the width-24 stage's MXU
+    lane occupancy from 24/128 to 96/128; convs alternate the parity so
+    no re-blocking transpose ever runs."""
+    codes: jax.Array
+    scale: jax.Array
+    zp: jax.Array
+    s: int = flax.struct.field(pytree_node=False, default=1)
+    parity: str = flax.struct.field(pytree_node=False, default="phi")
+
+    @property
+    def channels(self) -> int:
+        return self.codes.shape[-1] // (4 * self.s)
+
+
+def s2d_merged_enabled() -> bool:
+    """Stage-resident packed INT path (default OFF; QBN_S2D_MERGED=on
+    enables). Measured SLOWER than the native-view merged conv on TPU
+    v5e (tools/microbench_s2dm.py: st1 1.31+1.16 ms packed pair vs
+    1.00 ms unpacked; st2 0.75 vs 0.46 ms) — the native-view requant
+    epilogues already lift the unpacked formulation to 54-119
+    useful-TOPS, and the packed 2x2 block-space conv's 16/9 MAC
+    overhead plus its 17^2 psi grid tile poorly. Kept as a
+    bitwise-exact library (tests/test_s2d_merged.py)."""
+    import os
+    return os.environ.get("QBN_S2D_MERGED", "off") == "on"
+
+
+class DeferredMergedConv:
+    """Handoff from ConvBlock to ResidualAdd in the int+merged path: the
+    conv's int_conv_merged call, NOT yet issued, so the residual add can
+    run fused inside the conv's requant epilogue (ops.integer
+    int_conv_merged residual args). Plain trace-local object — never
+    crosses a jit boundary."""
+
+    def __init__(self, kwargs: dict, s: int, scale, zp):
+        self.kwargs = kwargs      # full int_conv_merged argument dict
+        self.s = s
+        self.scale = scale        # the conv's own act observer grid
+        self.zp = zp
+
+
+def fused_resadd_enabled() -> bool:
+    """Residual add fused into the producing conv's requant epilogue
+    (default OFF; QBN_FUSED_RESADD=on enables). Measured PERF-NEUTRAL
+    on TPU v5e (headline bench 363.5k fused vs 366.3k unfused
+    ex-samples/s, within run noise): the native-view epilogue work
+    already reduced the standalone add+relu kernels to near-zero
+    marginal cost (the 365k headline ~= the 367.9k remove-all-adds
+    ablation). Kept wired for parity with FBGEMM's fused add_relu and
+    for shapes where the add's HBM round-trip matters."""
+    import os
+    return os.environ.get("QBN_FUSED_RESADD", "off") == "on"
+
+
 def quantize_codes(x, scale, zp, a_lo: int, a_hi: int):
     """Float -> zero-point-removed int8 codes clamped to the sub-8-bit
     bounds."""
@@ -404,13 +464,18 @@ class ConvBlock(nn.Module, QuantOps):
     # space-to-depth packed int8 conv (qbn_tpu.ops.s2d): None = auto
     # (3x3/stride-1/pad-1, narrow cout, even spatial dims), True/False force
     s2d: Optional[bool] = None
+    # int+merged mode: emit the stage-resident phi packing directly
+    # (qbn_tpu.ops.s2d_merged) — set on the stem feeding a packed stage
+    s2d_pack_output: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, mode: str = "float",
-                 update_stats: bool = False):
+                 update_stats: bool = False, defer_residual: bool = False):
         assert mode in MODES
         q = self.quant
-        if isinstance(x, MergedQTensor):
+        if isinstance(x, PackedQTensor):
+            cin = x.channels                      # (B, hb, wb, S*4*cin)
+        elif isinstance(x, MergedQTensor):
             cin = x.codes.shape[-1] // x.s        # (B, H, W, S*cin)
         elif isinstance(x, QTensor):
             cin = x.codes.shape[-1]
@@ -462,7 +527,8 @@ class ConvBlock(nn.Module, QuantOps):
                       "w_hi": jnp.asarray(q.w_bounds[1], jnp.int32)})
 
         if mode == "int":
-            return self._int_forward(x, qc.value)
+            return self._int_forward(x, qc.value,
+                                     defer_residual=defer_residual)
 
         if mode == "float":
             y = self._conv_forward(x, kernel, std, bias, train,
@@ -583,7 +649,7 @@ class ConvBlock(nn.Module, QuantOps):
         qc.value = entry
 
     # -- int ---------------------------------------------------------------
-    def _int_forward(self, x, qc):
+    def _int_forward(self, x, qc, defer_residual: bool = False):
         q = self.quant
         wb, ab = q.w_bounds, q.a_bounds
         presampled = self.get_variable("sampled", "w", None)
@@ -596,25 +662,65 @@ class ConvBlock(nn.Module, QuantOps):
             # enters the layout via the merged-N conv.
             from qbn_tpu.ops.integer import int_conv_merged
             s = presampled.shape[0]
-            out = int_conv_merged(
-                x.codes, x.scale, presampled, qc["add_scale"],
-                qc["add_zp"], qc["bias_f"], qc["act_scale"], qc["act_zp"],
-                self.strides, [(self.padding, self.padding)] * 2,
-                ab[0], ab[1], relu=self.relu,
+            if isinstance(x, PackedQTensor):
+                # stage-resident space-to-depth: parity alternates per
+                # conv, no layout ops (qbn_tpu.ops.s2d_merged)
+                from qbn_tpu.ops.s2d_merged import (int_conv_s2d_merged,
+                                                    eligible)
+                assert eligible(self.kernel_size, self.strides,
+                                self.padding, x.channels), \
+                    "PackedQTensor reached an s2d-ineligible conv"
+                to_psi = x.parity == "phi"
+                codes = int_conv_s2d_merged(
+                    x.codes, x.scale, presampled, qc["add_scale"],
+                    qc["add_zp"], qc["bias_f"], qc["act_scale"],
+                    qc["act_zp"], ab[0], ab[1], relu=self.relu,
+                    to_psi=to_psi)
+                return PackedQTensor(codes, qc["act_scale"],
+                                     qc["act_zp"], s=s,
+                                     parity="psi" if to_psi else "phi")
+            if (self.s2d_pack_output and isinstance(x, QTensor)
+                    and s2d_merged_enabled()):
+                from qbn_tpu.ops.s2d_merged import (int_conv_s2d_stem,
+                                                    eligible)
+                if eligible(self.kernel_size, self.strides,
+                            self.padding, x.codes.shape[-1]):
+                    codes = int_conv_s2d_stem(
+                        x.codes, x.scale, presampled, qc["add_scale"],
+                        qc["add_zp"], qc["bias_f"], qc["act_scale"],
+                        qc["act_zp"], ab[0], ab[1], relu=self.relu)
+                    return PackedQTensor(codes, qc["act_scale"],
+                                         qc["act_zp"], s=s, parity="phi")
+            kwargs = dict(
+                x_codes=x.codes, x_scale=x.scale, w_codes=presampled,
+                w_scale=qc["add_scale"], w_zp=qc["add_zp"],
+                bias=qc["bias_f"], out_scale=qc["act_scale"],
+                out_zp=qc["act_zp"], strides=self.strides,
+                padding=[(self.padding, self.padding)] * 2,
+                a_lo=ab[0], a_hi=ab[1], relu=self.relu,
                 shared_x=isinstance(x, QTensor))
+            if defer_residual and isinstance(x, MergedQTensor):
+                return DeferredMergedConv(kwargs, s, qc["act_scale"],
+                                          qc["act_zp"])
+            out = int_conv_merged(**kwargs)
             return MergedQTensor(out, qc["act_scale"], qc["act_zp"], s=s)
         if isinstance(x, MergedQTensor):
             # merged activations through a deterministic conv: broadcast
             # the shared weights over the sample groups
             from qbn_tpu.ops.integer import int_conv_merged
             w8 = qc["w_codes"].astype(jnp.int8)
-            out = int_conv_merged(
-                x.codes, x.scale,
-                jnp.broadcast_to(w8, (x.s,) + w8.shape),
-                qc["w_scale"], qc["w_zp"], qc["bias_f"], qc["act_scale"],
-                qc["act_zp"], self.strides,
-                [(self.padding, self.padding)] * 2, ab[0], ab[1],
-                relu=self.relu)
+            kwargs = dict(
+                x_codes=x.codes, x_scale=x.scale,
+                w_codes=jnp.broadcast_to(w8, (x.s,) + w8.shape),
+                w_scale=qc["w_scale"], w_zp=qc["w_zp"],
+                bias=qc["bias_f"], out_scale=qc["act_scale"],
+                out_zp=qc["act_zp"], strides=self.strides,
+                padding=[(self.padding, self.padding)] * 2,
+                a_lo=ab[0], a_hi=ab[1], relu=self.relu)
+            if defer_residual:
+                return DeferredMergedConv(kwargs, x.s, qc["act_scale"],
+                                          qc["act_zp"])
+            out = int_conv_merged(**kwargs)
             return MergedQTensor(out, qc["act_scale"], qc["act_zp"],
                                  s=x.s)
         if self.stochastic and presampled is not None:
@@ -730,8 +836,15 @@ class BernoulliDropout(nn.Module, QuantOps):
 
 
 class ResidualAdd(nn.Module, QuantOps):
-    """Quant-safe residual add (reference: src/utils.py:49-55 Add module)."""
+    """Quant-safe residual add (reference: src/utils.py:49-55 Add module).
+
+    relu=True folds the block's post-add ReLU in (observation still sees
+    the PRE-relu sum, matching the reference's FloatFunctional.add
+    followed by a bare relu); in the int+merged path, receiving a
+    DeferredMergedConv as `a` runs add+relu INSIDE the producing conv's
+    requant epilogue (see ops.integer.int_conv_merged residual args)."""
     quant: QuantConfig = QuantConfig()
+    relu: bool = False
 
     @nn.compact
     def __call__(self, a, b, *, mode: str = "float",
@@ -739,7 +852,8 @@ class ResidualAdd(nn.Module, QuantOps):
         if mode == "float":
             if self.quant.enabled:
                 self._obs("add_act")
-            return a + b
+            y = a + b
+            return jax.nn.relu(y) if self.relu else y
         if mode in ("qat", "convert"):
             y = self._fq("add_act", a + b, self.quant.a_bounds, update_stats)
             if mode == "convert":
@@ -748,7 +862,7 @@ class ResidualAdd(nn.Module, QuantOps):
                 if not self.is_initializing():
                     s, z = self._qparams("add_act", self.quant.a_bounds)
                     qc.value = {"scale": s, "zp": z}
-            return y
+            return jax.nn.relu(y) if self.relu else y
         # int: dequant both operands, add, requant. The optimization
         # barriers stop XLA from SINKING each producing conv's requant
         # epilogue out of the conv and into this add's fusion — without
@@ -761,11 +875,25 @@ class ResidualAdd(nn.Module, QuantOps):
             {"scale": "scalar_f", "zp": "scalar_i"}))
         s, z = qc.value["scale"], qc.value["zp"]
         ab = self.quant.a_bounds
+        if isinstance(a, DeferredMergedConv):
+            # fused path: requant + add + relu ride the conv's epilogue
+            from qbn_tpu.ops.integer import int_conv_merged
+            out = int_conv_merged(
+                **a.kwargs, residual=b.codes, res_scale=b.scale,
+                res_out_scale=s, res_out_zp=z, res_relu=self.relu)
+            return MergedQTensor(out, s, z, s=a.s)
         a_codes = lax.optimization_barrier(a.codes)
         b_codes = lax.optimization_barrier(b.codes)
         total = (dequantize_codes(a_codes, a.scale)
                  + dequantize_codes(b_codes, b.scale))
         codes = quantize_codes(total, s, z, ab[0], ab[1])
+        if self.relu:
+            codes = jnp.maximum(codes, jnp.int8(0))  # u >= 0 <=> q >= zp
+        if isinstance(a, PackedQTensor):
+            # packed borders stay exactly zero: dequant(0)+dequant(0)=0
+            # requantises to code zp, i.e. u = 0
+            assert isinstance(b, PackedQTensor) and b.parity == a.parity
+            return PackedQTensor(codes, s, z, s=a.s, parity=a.parity)
         if isinstance(a, MergedQTensor):
             return MergedQTensor(codes, s, z, s=a.s)
         return QTensor(codes, s, z)
@@ -853,9 +981,12 @@ def relu(x):
     """Standalone ReLU (e.g. after a residual add): on integer codes this is
     max(code, zero_point), with no new observer — matching the converted
     reference nets where a bare ReLU acts on the quantised tensor."""
-    if isinstance(x, (QTensor, MergedQTensor)):
+    if isinstance(x, (QTensor, MergedQTensor, PackedQTensor)):
         # zero-point-removed codes: q >= zp  <=>  u >= 0
         codes = jnp.maximum(x.codes, jnp.int8(0))
+        if isinstance(x, PackedQTensor):
+            return PackedQTensor(codes, x.scale, x.zp, s=x.s,
+                                 parity=x.parity)
         if isinstance(x, MergedQTensor):
             return MergedQTensor(codes, x.scale, x.zp, s=x.s)
         return QTensor(codes, x.scale, x.zp)

@@ -296,7 +296,9 @@ def _conv_core(strides, padding, a_lo: int, a_hi: int, relu: bool):
 def int_conv_merged(x_codes, x_scale, w_codes, w_scale, w_zp, bias,
                     out_scale, out_zp, strides, padding,
                     a_lo: int, a_hi: int, relu: bool = False,
-                    shared_x: bool = False):
+                    shared_x: bool = False, residual=None,
+                    res_scale=None, res_out_scale=None, res_out_zp=None,
+                    res_relu: bool = False):
     """All-samples quantised conv in the MERGED channel layout.
 
     The transpose-free MC evaluation path: activations stay
@@ -316,6 +318,17 @@ def int_conv_merged(x_codes, x_scale, w_codes, w_scale, w_zp, bias,
     from a separate one-channel-per-group ones conv so the main conv's
     requant epilogue stays fusable; shallow contractions use centered
     bf16 weights and need no correction at all.
+
+    residual (optional): (B, H', W', S*cout) int8 codes of
+    a residual-add operand at scale res_scale. The whole quantised add
+    (requant to this conv's grid -> dequant both -> add -> requant to
+    the add observer's res_out_scale/zp grid, optional quantised ReLU)
+    runs INSIDE the conv's epilogue — bit-identical to the standalone
+    ResidualAdd+relu kernels, but the conv's own int8 output never
+    round-trips through HBM (the separate add kernel's read+write of it
+    disappears). Equivalent of FBGEMM's fused add_relu consuming a conv
+    output (reference: src/models/stochastic/bbb/quantized/
+    models_q.py BasicBlockQ.forward add_relu usage).
     """
     s, kh, kw, cin, cout = w_codes.shape
     w8 = w_codes.astype(jnp.int8)
@@ -334,6 +347,32 @@ def int_conv_merged(x_codes, x_scale, w_codes, w_scale, w_zp, bias,
     # add) follow downstream — exactly the rebasing that caused the f32
     # materialisation.
     bias = jnp.zeros((cout,), jnp.float32) if bias is None else bias
+
+    def _fuse_res(out, res):
+        """Quantised residual add + optional ReLU, in the conv's native
+        view (res is the (B,H',W',S*cout) operand reshaped to match)."""
+        y = (out.astype(jnp.float32) * out_scale
+             + res.astype(jnp.float32) * res_scale)
+        return _requant_out(y, None, res_out_scale, res_out_zp,
+                            res_relu, a_lo, a_hi)
+
+    def _epilogue_5d(acc_f, b, ho, wo):
+        """Requant (+ fused residual add) in the native 5-D view."""
+        out = _requant_out(acc_f, bias, out_scale, out_zp, relu,
+                           a_lo, a_hi)
+        if residual is not None:
+            out = _fuse_res(out, residual.reshape(b, ho, wo, s, cout))
+        return out
+
+    def _epilogue_4d(acc_f):
+        """Requant (+ fused residual add) in the native 4-D view
+        (fgc == 1: the shared-x stem, or a single-sample merge)."""
+        out = _requant_out(acc_f, jnp.tile(bias, s), out_scale, out_zp,
+                           relu, a_lo, a_hi)
+        if residual is not None:
+            out = _fuse_res(out, residual)
+        return out
+
     if k <= _BF16_CENTERED_K:
         # centered-weight path: the zero-point correction vanishes
         wc = _centered_weights(
@@ -346,12 +385,10 @@ def int_conv_merged(x_codes, x_scale, w_codes, w_scale, w_zp, bias,
         if fgc > 1:
             acc = acc.reshape(b, ho, wo, s, cout)       # native 5-D view
             acc_f = acc * (x_scale * w_scale)
-            out = _requant_out(acc_f, bias, out_scale, out_zp, relu,
-                               a_lo, a_hi)
+            out = _epilogue_5d(acc_f, b, ho, wo)
         else:
             acc_f = acc * (x_scale * w_scale)           # native 4-D view
-            out = _requant_out(acc_f, jnp.tile(bias, s), out_scale,
-                               out_zp, relu, a_lo, a_hi)
+            out = _epilogue_4d(acc_f)
     else:
         # Deep contraction: exact conv + SEPARATE one-channel-per-group
         # window-sum conv. An appended ones channel would ride the same
@@ -376,14 +413,12 @@ def int_conv_merged(x_codes, x_scale, w_codes, w_scale, w_zp, bias,
             acc_f = (acc.astype(jnp.float32)
                      - w_zp * winsum.astype(jnp.float32)[..., None]
                      ) * (x_scale * w_scale)
-            out = _requant_out(acc_f, bias, out_scale, out_zp, relu,
-                               a_lo, a_hi)
+            out = _epilogue_5d(acc_f, b, ho, wo)
         else:
             acc_f = (acc.astype(jnp.float32)
                      - w_zp * winsum.astype(jnp.float32)
                      ) * (x_scale * w_scale)            # native 4-D view
-            out = _requant_out(acc_f, jnp.tile(bias, s), out_scale,
-                               out_zp, relu, a_lo, a_hi)
+            out = _epilogue_4d(acc_f)
     out = lax.optimization_barrier(out)
     return out.reshape(b, ho, wo, s * cout)
 
