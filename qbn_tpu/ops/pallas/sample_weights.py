@@ -47,6 +47,23 @@ def _standard_normal(shape):
     return r * jnp.cos(_TWO_PI * u2)
 
 
+def _standard_normal_pair(shape):
+    """BOTH Box-Muller outputs (r cos θ, r sin θ): two independent
+    standard-normal fields per (log, sqrt) — the transcendentals
+    dominate the draw kernel's wall time (tools/microbench_draw.py:
+    157 MB of codes at 13.8 GB/s ≈ 60x below HBM speed), so pairing
+    nearly halves it."""
+    f1 = _uniform12(pltpu.bitcast(pltpu.prng_random_bits(shape),
+                                  jnp.uint32))
+    f2 = _uniform12(pltpu.bitcast(pltpu.prng_random_bits(shape),
+                                  jnp.uint32))
+    u1 = 2.0 - f1
+    u2 = f2 - 1.0
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    t = _TWO_PI * u2
+    return r * jnp.cos(t), r * jnp.sin(t)
+
+
 def _body(eps, w, std, q_ref, w_lo, w_hi):
     (w_scale, w_zp, std_scale, std_zp, mul_scale, mul_zp, add_scale,
      add_zp) = [q_ref[i] for i in range(8)]
@@ -68,6 +85,17 @@ def _kernel_prng(seed_ref, w_ref, std_ref, q_ref, out_ref, *, w_lo, w_hi):
     pltpu.prng_seed(seed_ref[0] + s)
     eps = _standard_normal(w_ref.shape)
     out_ref[0] = _body(eps, w_ref[:], std_ref[:], q_ref, w_lo, w_hi)
+
+
+def _kernel_prng_pair(seed_ref, w_ref, std_ref, q_ref, out_ref, *,
+                      w_lo, w_hi):
+    """Two samples per grid step from one Box-Muller pair."""
+    s = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + s)
+    eps_a, eps_b = _standard_normal_pair(w_ref.shape)
+    w, std = w_ref[:], std_ref[:]
+    out_ref[0] = _body(eps_a, w, std, q_ref, w_lo, w_hi)
+    out_ref[1] = _body(eps_b, w, std, q_ref, w_lo, w_hi)
 
 
 def _kernel_noise(w_ref, std_ref, q_ref, noise_ref, out_ref, *, w_lo, w_hi):
@@ -125,10 +153,23 @@ def sample_weights_int8(w_codes, std_codes, qparams, seed, samples: int,
             **common,
         )(w8, s8, qvec, noise.astype(jnp.float32))
 
-    kernel = functools.partial(_kernel_prng, w_lo=w_lo, w_hi=w_hi)
+    import os
+    pair = samples % 2 == 0 and \
+        os.environ.get("QBN_DRAW_PAIR", "on") != "off"
+    if pair:
+        kernel = functools.partial(_kernel_prng_pair, w_lo=w_lo,
+                                   w_hi=w_hi)
+        grid = (samples // 2,)
+        out_specs = pl.BlockSpec((2, m, n), lambda s, sref: (s, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        kernel = functools.partial(_kernel_prng, w_lo=w_lo, w_hi=w_hi)
+        grid = (samples,)
+        out_specs = pl.BlockSpec((1, m, n), lambda s, sref: (s, 0, 0),
+                                 memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(samples,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec((m, n), lambda s, sref: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -136,8 +177,7 @@ def sample_weights_int8(w_codes, std_codes, qparams, seed, samples: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, m, n), lambda s, sref: (s, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
     )
     seed_arr = jnp.asarray([seed], jnp.int32).reshape(1)
     return pl.pallas_call(kernel, grid_spec=grid_spec, **common)(
