@@ -61,6 +61,23 @@ def main(argv=None):
                 if delta is not None and metric in ("error", "ece"):
                     key = (metric,)
                     worst[key] = max(worst.get(key, 0.0), abs(delta))
+        for ds in sorted(k for k in ref.get("error", {})
+                         if isinstance(k, str)
+                         and k.startswith("regression_")):
+            # regression tier: per-dataset RMSE ('error') + NLL over
+            # train/valid/test (reference schema:
+            # experiments/utils.py:203-218)
+            for split in ("train", "valid", "test"):
+                for metric in ("error", "nll"):
+                    rv = ref.get(metric, {}).get(ds, {}).get(split)
+                    ov = ours.get(metric, {}).get(ds, {}).get(split)
+                    if rv is None or ov is None:
+                        continue
+                    label = ("rmse" if metric == "error" else metric)
+                    lines.append(
+                        f"| {method} | {phase} | {ds[11:]} {split} "
+                        f"| {label} | {fmt(rv)} | {fmt(ov)} "
+                        f"| {fmt(ov - rv)} |")
         for distortion in ("rotation", "shift", "brightness"):
             for lvl in "01234":
                 for metric in ("error", "ece"):

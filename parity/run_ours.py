@@ -21,6 +21,12 @@ def main(argv=None):
     p.add_argument("--method", required=True, choices=[
         "pointwise", "bbb", "mcdropout", "sgld"])
     p.add_argument("--phase", required=True, choices=["float", "qat"])
+    p.add_argument("--tier", default="mnist",
+                   choices=["mnist", "regression"])
+    p.add_argument("--datasets", default=None,
+                   help="regression tier: 'synthetic:1,housing:3' — "
+                        "narrows REGRESSION_DATASETS (flows + harness) "
+                        "to match the reference-side shim")
     p.add_argument("--data", required=True)
     p.add_argument("--workdir", required=True)
     p.add_argument("--epochs", type=int, required=True)
@@ -43,7 +49,17 @@ def main(argv=None):
             sys.path.insert(0, path)
     import run  # experiments/run.py
 
-    argv2 = ["--method", args.method, "--tier", "mnist",
+    if args.datasets:
+        spec = [(n, int(k)) for n, k in
+                (s.split(":") for s in args.datasets.split(","))]
+        import qbn_tpu.flows as flows
+        import qbn_tpu.evaluation.harness as harness
+        flows.REGRESSION_DATASETS = spec
+        harness.REGRESSION_DATASETS = spec
+        print(f"[parity] REGRESSION_DATASETS narrowed to {spec}",
+              flush=True)
+
+    argv2 = ["--method", args.method, "--tier", args.tier,
              "--phase", args.phase,
              "--data", data,
              "--epochs", str(args.epochs),

@@ -45,6 +45,15 @@ def main(argv=None):
     p.add_argument("--method", required=True, choices=[
         "pointwise", "bbb", "mcdropout", "sgld"])
     p.add_argument("--phase", required=True, choices=["float", "qat"])
+    p.add_argument("--tier", default="mnist",
+                   choices=["mnist", "regression"],
+                   help="selects the *_mnist.py or *_regression.py "
+                        "runner script")
+    p.add_argument("--datasets", default=None,
+                   help="regression tier only: 'synthetic:1,housing:3' "
+                        "— shims experiments.utils.REGRESSION_DATASETS "
+                        "to this (name, folds) list for a reduced-budget "
+                        "parity run")
     p.add_argument("--data", required=True,
                    help="dataset root (MNIST/raw idx files etc.)")
     p.add_argument("--workdir", required=True,
@@ -60,6 +69,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     script = os.path.join(REFERENCE, SCRIPTS[(args.method, args.phase)])
+    if args.tier != "mnist":
+        script = script.replace("_mnist.py", f"_{args.tier}.py")
     os.makedirs(args.workdir, exist_ok=True)
     data = os.path.abspath(args.data)
     load = os.path.abspath(args.load) if args.load else None
@@ -69,6 +80,18 @@ def main(argv=None):
         sys.path.insert(0, REPO)
     from parity.torch_compat import install
     install(REFERENCE)
+
+    if args.datasets:
+        # shim (not a source edit): the runner scripts re-import
+        # REGRESSION_DATASETS from experiments.utils at run_path time,
+        # so patching the module narrows the grid for both training and
+        # evaluate_regression_uncertainty
+        spec = [(n, int(k)) for n, k in
+                (s.split(":") for s in args.datasets.split(","))]
+        import experiments.utils as eu
+        eu.REGRESSION_DATASETS = spec
+        print(f"[parity] REGRESSION_DATASETS shimmed to {spec}",
+              flush=True)
 
     argv2 = [script,
              "--data", data,
