@@ -180,6 +180,76 @@ def plot_candlestick_grid(results_by_method: Dict[str, dict], metric: str,
     plt.close(fig)
 
 
+def plot_uci_candlestick_grid(float_results: Dict[str, dict],
+                              quant_results: Dict[str, Dict[str, dict]],
+                              metric: str, path: str,
+                              cells: Optional[Sequence[str]] = None
+                              ) -> None:
+    """Regression box-plot grid: one box per (method, precision cell),
+    the box spanning the UCI datasets' test metric at that precision —
+    Float32 leftmost, then the quant cells (reference:
+    experiments/presentation/plot_candlesticks.py:113-175, incl. the
+    isoutlier filter and the reference's NLL sign flip)."""
+    plt = _plt()
+    if cells is None:
+        cells = sorted({c for m in quant_results.values() for c in m})
+    methods = [m for m in ("pointwise", "mcdropout", "bbb", "sgld")
+               if m in float_results] or list(float_results)
+
+    def _vals(res):
+        out = []
+        for ds in sorted(k for k in res.get(metric, {})
+                         if isinstance(k, str)
+                         and k.startswith("regression_")
+                         and k != "regression_synthetic"):
+            v = res[metric][ds].get("test")
+            if v is None:
+                continue
+            v = _leaf_mean(v)
+            if isoutlier(v):
+                continue
+            out.append(-v if metric == "nll" else v)
+        return out or [np.nan]
+
+    fig = plt.figure(figsize=(7, 2.6))
+    plt.grid(True)
+    bps, labels = [], []
+    n_pos = 1 + len(cells)
+    for i, method in enumerate(methods):
+        data = [_vals(float_results[method])]
+        for cell in cells:
+            res = quant_results.get(method, {}).get(cell, {})
+            data.append(_vals(res))
+        positions = np.array([1 + k * (len(methods) + 1) + i
+                              for k in range(n_pos)])
+        bp = plt.boxplot(
+            data, positions=positions, showfliers=False,
+            patch_artist=True,
+            medianprops=dict(linewidth=2, color="black"),
+            boxprops=dict(facecolor=f"C{i}", hatch="//" if i == 0 else ""),
+            widths=1)
+        bps.append(bp)
+        labels.append(METHOD_LABELS.get(method, method))
+    ax = fig.gca()
+    ticks = ["Float32"] + [
+        "Q:A{}W{}".format(c.split("_")[1], c.split("_")[3])
+        for c in cells]
+    tick_pos = np.array([1 + k * (len(methods) + 1)
+                         + (len(methods) - 1) / 2.0 for k in range(n_pos)])
+    ax.spines["top"].set_visible(False)
+    ax.spines["right"].set_visible(False)
+    plt.xticks(ticks=tick_pos, labels=ticks, fontsize=8)
+    plt.tick_params(axis="x", which="both", bottom=False)
+    plt.xlabel("Bit-width & Precision")
+    plt.ylabel({"error": "RMSE", "nll": "-NLL"}.get(metric, metric))
+    plt.tight_layout()
+    ax.legend([bp["boxes"][0] for bp in bps], labels, loc="upper center",
+              bbox_to_anchor=(0.5, 1.25), ncol=max(len(labels), 1),
+              fontsize="small")
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+
+
 def load_summary(path: str) -> dict:
     with open(os.path.join(path, "results.json")) as fh:
         return json.load(fh)

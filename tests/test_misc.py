@@ -12,7 +12,8 @@ from qbn_tpu.models.factory import ModelFactory, build_model
 from qbn_tpu.profiling import PhaseTimer, model_size_bytes
 from qbn_tpu.evaluation.writer import ScalarWriter
 from qbn_tpu.evaluation.presentation import (
-    plot_distortion_grid, plot_bitwidth_lines,
+    plot_distortion_grid, plot_bitwidth_lines, plot_candlestick_grid,
+    plot_uci_candlestick_grid,
 )
 from qbn_tpu.utils import init_variables
 
@@ -65,3 +66,32 @@ def test_presentation_plots(tmp_path):
                         {"bbb": {"a_7_w_8": res, "a_7_w_4": res}},
                         "error", "test", p2)
     assert os.path.exists(p2)
+
+
+def test_candlestick_plots(tmp_path):
+    res = {"error": {"rotation": {str(l): [0.1 * l, 0.01]
+                                  for l in range(5)},
+                     "shift": {str(l): [0.2 * l, 0.01] for l in range(5)},
+                     "brightness": {str(l): [0.05 * l, 0.0]
+                                    for l in range(5)},
+                     "test": [0.08, 0.01]}}
+    p1 = os.path.join(tmp_path, "candle.png")
+    plot_candlestick_grid({"bbb": res, "pointwise": res}, "error", p1)
+    assert os.path.exists(p1)
+    # regression UCI variant: boxes over UCI datasets per precision cell
+    # (reference plot_candlesticks.py:113-175)
+    rres = {m: {ds: {"test": [v, 0.01]}
+                for ds, v in (("regression_housing", 0.4),
+                              ("regression_yacht", 0.6),
+                              ("regression_synthetic", 0.2))}
+            for m in ("error", "nll")}
+    p2 = os.path.join(tmp_path, "uci.png")
+    plot_uci_candlestick_grid(
+        {"bbb": rres, "pointwise": rres},
+        {"bbb": {"a_7_w_8": rres}, "pointwise": {"a_7_w_8": rres}},
+        "error", p2, cells=["a_7_w_8"])
+    assert os.path.exists(p2)
+    p3 = os.path.join(tmp_path, "uci_nll.png")
+    plot_uci_candlestick_grid({"bbb": rres}, {"bbb": {"a_7_w_8": rres}},
+                              "nll", p3)
+    assert os.path.exists(p3)
