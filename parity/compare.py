@@ -48,7 +48,8 @@ def main(argv=None):
     for pair in args.pairs:
         method, phase, ref_dir, ours_dir = pair.split(":")
         ref, ours = load_ref(ref_dir), load_ours(ours_dir)
-        for split in SPLITS:
+        is_regression = not ref.get("error", {}).get("test")
+        for split in SPLITS if not is_regression else ():
             for metric in METRICS:
                 rv = ref.get(metric, {}).get(split)
                 ov = ours.get(metric, {}).get(split)

@@ -73,6 +73,12 @@ def main(argv=None):
         script = script.replace("_mnist.py", f"_{args.tier}.py")
     os.makedirs(args.workdir, exist_ok=True)
     data = os.path.abspath(args.data)
+    if args.tier == "regression":
+        # the reference's UCIDatasets string-concatenates
+        # data_path+"UCI" (reference: src/data.py:38-45) — without the
+        # trailing separator it looks for (and tries to download to)
+        # "<data>UCI" and hits the zero-egress wall
+        data += os.sep
     load = os.path.abspath(args.load) if args.load else None
     os.chdir(args.workdir)
 
