@@ -14,7 +14,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from qbn_tpu.data.synth import make_synth_images, make_synth_mnist  # noqa: E402
-from qbn_tpu.data.writers import write_mnist_dir  # noqa: E402
+from qbn_tpu.data.synth import make_synth_cifar  # noqa: E402
+from qbn_tpu.data.writers import (write_mnist_dir, write_cifar10_dir,
+                                  write_svhn_mat)  # noqa: E402
 
 
 def main(argv=None):
@@ -25,6 +27,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_shift", type=int, default=3)
     p.add_argument("--noise_sigma", type=float, default=25.0)
+    p.add_argument("--cifar", action="store_true",
+                   help="also write learnable synthetic CIFAR-10 pickles "
+                        "+ SVHN .mat OOD (the cifar-tier parity cell)")
     args = p.parse_args(argv)
 
     x_tr, y_tr, x_te, y_te = make_synth_mnist(
@@ -40,6 +45,14 @@ def main(argv=None):
                                      proto_seed=9999)
     write_mnist_dir(args.out, xo_tr, yo_tr, xo_te, yo_te,
                     prefix="FashionMNIST")
+    if args.cifar:
+        xc_tr, yc_tr, xc_te, yc_te = make_synth_cifar(
+            args.n_train, args.n_test, args.seed)
+        write_cifar10_dir(args.out, xc_tr, yc_tr, xc_te, yc_te)
+        # OOD ("random_cifar" = SVHN in the reference): disjoint protos
+        xs, ys = make_synth_images(args.n_test, (32, 32, 3), 10, 8899,
+                                   proto_seed=31337)
+        write_svhn_mat(args.out, xs, ys, split="test")
     print(f"[parity] wrote dataset to {args.out} "
           f"(train {args.n_train}, test {args.n_test})")
 

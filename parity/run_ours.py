@@ -22,7 +22,7 @@ def main(argv=None):
         "pointwise", "bbb", "mcdropout", "sgld"])
     p.add_argument("--phase", required=True, choices=["float", "qat"])
     p.add_argument("--tier", default="mnist",
-                   choices=["mnist", "regression"])
+                   choices=["mnist", "regression", "cifar"])
     p.add_argument("--datasets", default=None,
                    help="regression tier: 'synthetic:1,housing:3' — "
                         "narrows REGRESSION_DATASETS (flows + harness) "

@@ -46,7 +46,7 @@ def main(argv=None):
         "pointwise", "bbb", "mcdropout", "sgld"])
     p.add_argument("--phase", required=True, choices=["float", "qat"])
     p.add_argument("--tier", default="mnist",
-                   choices=["mnist", "regression"],
+                   choices=["mnist", "regression", "cifar"],
                    help="selects the *_mnist.py or *_regression.py "
                         "runner script")
     p.add_argument("--datasets", default=None,
