@@ -48,7 +48,7 @@ def main(argv=None):
     for pair in args.pairs:
         method, phase, ref_dir, ours_dir = pair.split(":")
         ref, ours = load_ref(ref_dir), load_ours(ours_dir)
-        is_regression = not ref.get("error", {}).get("test")
+        is_regression = ref.get("error", {}).get("test") is None
         for split in SPLITS if not is_regression else ():
             for metric in METRICS:
                 rv = ref.get(metric, {}).get(split)
