@@ -146,11 +146,15 @@ def _load_svhn(data_dir: str, split: str = "test"):
 # ---------------------------------------------------------------------------
 
 def _synthetic_images(n: int, shape: Tuple[int, int, int], classes: int,
-                      seed: int):
+                      seed: int, proto_seed: int):
     """Class-template images + noise: learnable, deterministic, with the
-    same shapes/value range as the real dataset."""
+    same shapes/value range as the real dataset. The class templates come
+    from proto_seed so train and test SHARE them (a test split with its
+    own templates is unlearnable — every stand-in eval pinned at ~0.9
+    error until this was split out); examples come from seed."""
+    templates = np.random.RandomState(proto_seed).rand(
+        classes, *shape).astype(np.float32)
     rng = np.random.RandomState(seed)
-    templates = rng.rand(classes, *shape).astype(np.float32)
     y = rng.randint(0, classes, n).astype(np.int64)
     noise = rng.rand(n, *shape).astype(np.float32)
     x = 0.65 * templates[y] + 0.35 * noise
@@ -167,7 +171,10 @@ def _fallback(name: str, n_train: int, n_test: int, shape, classes: int,
                     "synthetic stand-in (zero-egress host)", name)
         _SYNTH_WARNED.add(name)
     n = n_train if train else n_test
-    return _synthetic_images(n, shape, classes, seed + (0 if train else 1))
+    # per-dataset prototype seed (OOD pairs like cifar/svhn keep DISJOINT
+    # prototypes via their different base seeds); per-split example seed
+    return _synthetic_images(n, shape, classes,
+                             seed * 1000 + (0 if train else 1), seed)
 
 
 def load_images(name: str, data_dir: str, train: bool):

@@ -83,3 +83,24 @@ def test_cifar_augment_shapes():
     out = augment_cifar(x, np.random.RandomState(1))
     assert out.shape == x.shape
     assert not np.allclose(out, x)
+
+
+def test_synthetic_standin_test_split_is_learnable():
+    """Train and test stand-ins must share class prototypes: a
+    nearest-class-mean classifier fit on train must beat chance by a
+    wide margin on test (regression test for the seed+1 template bug
+    that pinned every stand-in eval at ~0.9 error)."""
+    from qbn_tpu.data.datasets import _fallback
+    x_tr, y_tr = _fallback("cifar", 2000, 500, (32, 32, 3), 10, 33, True)
+    x_te, y_te = _fallback("cifar", 2000, 500, (32, 32, 3), 10, 33, False)
+    means = np.stack([x_tr[y_tr == c].mean(axis=0) for c in range(10)])
+    d = ((x_te[:, None] - means[None]) ** 2).reshape(len(x_te), 10, -1)
+    pred = d.sum(-1).argmin(1)
+    acc = (pred == y_te).mean()
+    assert acc > 0.9, acc
+    # the OOD stand-in (svhn) keeps DISJOINT prototypes
+    x_ood, y_ood = _fallback("svhn", 2000, 500, (32, 32, 3), 10, 44,
+                             False)
+    d = ((x_ood[:, None] - means[None]) ** 2).reshape(len(x_ood), 10, -1)
+    acc_ood = (d.sum(-1).argmin(1) == y_ood).mean()
+    assert acc_ood < 0.3, acc_ood
