@@ -64,6 +64,78 @@ def _standard_normal_pair(shape):
     return r * jnp.cos(t), r * jnp.sin(t)
 
 
+# ---------------------------------------------------------------------------
+# Fast-math Box-Muller: hand-rolled sincos / log polynomials.
+#
+# The library log/cos/sin lowerings carry full-range reduction the kernel
+# does not need (θ is already in one period; u1's exponent/mantissa split
+# is free via bitcast), and they dominate the draw kernel's wall time.
+# Polynomial accuracy budget: the noise is immediately quantised to the
+# 3/127 grid (bin width 0.0236σ), so any |Δε| ≤ ~1e-5 leaves the emitted
+# int8 code unchanged except within ~4e-4 of bin edges. Max absolute
+# errors measured on dense grids (tests/test_fastmath.py): sincos ~4e-6,
+# -ln ~2e-6 relative.
+# ---------------------------------------------------------------------------
+
+_LN2 = 0.6931471805599453
+_SQRT2 = 1.4142135623730951
+_HALF_PI = 1.5707963267948966
+
+
+def _fast_sincos(u):
+    """(cos 2πu, sin 2πu) for u in [0, 1): quadrant reduction to
+    a = π/2·d with d in [-1/2, 1/2], then odd/even Taylor polynomials
+    (|err| ≤ 4e-6 at the interval ends — far below the 3/127 noise
+    quantisation bin)."""
+    x = 4.0 * u
+    n = jnp.round(x)
+    a = (x - n) * _HALF_PI                     # [-π/4, π/4]
+    a2 = a * a
+    cos_a = 1.0 + a2 * (-0.5 + a2 * (1.0 / 24.0 + a2 * (-1.0 / 720.0)))
+    sin_a = a * (1.0 + a2 * (-1.0 / 6.0 + a2 * (1.0 / 120.0
+                                                + a2 * (-1.0 / 5040.0))))
+    ni = n.astype(jnp.int32)
+    swap = (ni & 1) == 1
+    # cos(π/2·n + a): n%4 -> {cos, -sin, -cos, sin};  sign flips when
+    # (n+1)&2;  sin(π/2·n + a): n%4 -> {sin, cos, -sin, -cos}; sign when n&2
+    c_mag = jnp.where(swap, sin_a, cos_a)
+    s_mag = jnp.where(swap, cos_a, sin_a)
+    c = jnp.where(((ni + 1) & 2) == 2, -c_mag, c_mag)
+    s = jnp.where((ni & 2) == 2, -s_mag, s_mag)
+    return c, s
+
+
+def _fast_neg_log(u, bitcast):
+    """-ln(u) for positive normal f32 u (here u in (0, 1]): exponent via
+    bitcast, mantissa via the atanh series on t = (m-1)/(m+1) after
+    folding m into [√2/2, √2] (|t| ≤ 0.1716; series error ~4e-9)."""
+    bits = bitcast(u, jnp.uint32)
+    e = (bits >> jnp.uint32(23)).astype(jnp.int32) - 127
+    m = bitcast((bits & jnp.uint32(0x7FFFFF)) | jnp.uint32(0x3F800000),
+                jnp.float32)                   # [1, 2)
+    big = m > _SQRT2
+    m = jnp.where(big, 0.5 * m, m)
+    ef = (e + big.astype(jnp.int32)).astype(jnp.float32)
+    t = (m - 1.0) / (m + 1.0)
+    t2 = t * t
+    ln_m = 2.0 * t * (1.0 + t2 * (1.0 / 3.0 + t2 * (1.0 / 5.0
+                                                    + t2 * (1.0 / 7.0))))
+    return -(ef * _LN2 + ln_m)
+
+
+def _standard_normal_pair_fast(shape):
+    """_standard_normal_pair with the fast-math sincos/log."""
+    f1 = _uniform12(pltpu.bitcast(pltpu.prng_random_bits(shape),
+                                  jnp.uint32))
+    f2 = _uniform12(pltpu.bitcast(pltpu.prng_random_bits(shape),
+                                  jnp.uint32))
+    u1 = 2.0 - f1          # (0, 1]
+    u2 = f2 - 1.0          # [0, 1)
+    r = jnp.sqrt(2.0 * _fast_neg_log(u1, pltpu.bitcast))
+    c, s = _fast_sincos(u2)
+    return r * c, r * s
+
+
 def _body(eps, w, std, q_ref, w_lo, w_hi):
     (w_scale, w_zp, std_scale, std_zp, mul_scale, mul_zp, add_scale,
      add_zp) = [q_ref[i] for i in range(8)]
@@ -88,11 +160,12 @@ def _kernel_prng(seed_ref, w_ref, std_ref, q_ref, out_ref, *, w_lo, w_hi):
 
 
 def _kernel_prng_pair(seed_ref, w_ref, std_ref, q_ref, out_ref, *,
-                      w_lo, w_hi):
+                      w_lo, w_hi, fast=False):
     """Two samples per grid step from one Box-Muller pair."""
     s = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + s)
-    eps_a, eps_b = _standard_normal_pair(w_ref.shape)
+    draw = _standard_normal_pair_fast if fast else _standard_normal_pair
+    eps_a, eps_b = draw(w_ref.shape)
     w, std = w_ref[:], std_ref[:]
     out_ref[0] = _body(eps_a, w, std, q_ref, w_lo, w_hi)
     out_ref[1] = _body(eps_b, w, std, q_ref, w_lo, w_hi)
@@ -156,9 +229,10 @@ def sample_weights_int8(w_codes, std_codes, qparams, seed, samples: int,
     import os
     pair = samples % 2 == 0 and \
         os.environ.get("QBN_DRAW_PAIR", "on") != "off"
+    fast = os.environ.get("QBN_DRAW_FAST", "off") != "off"
     if pair:
         kernel = functools.partial(_kernel_prng_pair, w_lo=w_lo,
-                                   w_hi=w_hi)
+                                   w_hi=w_hi, fast=fast)
         grid = (samples // 2,)
         out_specs = pl.BlockSpec((2, m, n), lambda s, sref: (s, 0, 0),
                                  memory_space=pltpu.VMEM)

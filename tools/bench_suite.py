@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Framework-wide TPU benchmark table.
+
+The headline bench (bench.py) measures one cell: INT8 BBB ResNet-18 MC
+evaluation. This suite measures the full performance surface a user of the
+reference framework would care about (reference eval loop:
+experiments/utils.py:330-377; its INT path runs single-threaded FBGEMM on
+CPU, so every cell here replaces a CPU-bound torch path):
+
+  * INT8 MC evaluation throughput for each method family
+    (bbb / mcdropout / pointwise) on the CIFAR ResNet-18 (w24) tier;
+  * the MNIST LeNet tier (bbb);
+  * serving latency: batch-1 INT8 BBB MC prediction (N=100), the
+    uncertainty-aware-inference deployment shape;
+  * training-step throughput (float + QAT) is covered by
+    tools/microbench_train.py.
+
+RTT-corrected chained-loop timing (CLAUDE.md relay hazards): N iterations
+inside one jitted fori_loop, single device->host fetch, best of 3.
+
+Usage: python tools/bench_suite.py [--quick]
+Prints one JSON line per cell; paste into docs/BENCH_TABLE.md.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from qbn_tpu.config import Config
+from qbn_tpu.models.factory import build_model
+from qbn_tpu.utils import init_variables, apply_model, convert_model
+from qbn_tpu.evaluation.mc import (aggregate, draw_sampled_weights,
+                                   mc_predict, presample_plan)
+
+
+def build_int8(model_name: str, dataset: str, batch: int, samples: int,
+               p: float = 0.0, sigma_prior: float = 0.05,
+               gamma: float = 0.01):
+    """Init + observer-calibrate + convert an INT8 model (the same recipe
+    as __graft_entry__._flagship_int8, generalised over the model zoo)."""
+    shape = (28, 28, 1) if dataset == "mnist" else (32, 32, 3)
+    cfg = Config(model=model_name, dataset=dataset, output_size=10,
+                 input_size=shape, sigma_prior=sigma_prior, gamma=gamma,
+                 p=p, at=True, q=True, samples=samples, batch_size=batch)
+    model = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (batch,) + shape, jnp.float32)
+    variables = init_variables(model, key, x, quantized=True)
+
+    # spread weights / stds so int8 logits are non-degenerate (bench.py)
+    def tweak(path, prm):
+        name = path[-1].key if hasattr(path[-1], "key") else ""
+        if name == "std":
+            return jnp.full_like(prm, -4.0)
+        return prm * 30.0
+    variables = dict(variables)
+    variables["params"] = jax.tree_util.tree_map_with_path(
+        tweak, variables["params"])
+    _, _, variables = apply_model(model, variables, x, key, train=True,
+                                  mode="qat", update_stats=True)
+    _, _, variables = apply_model(model, variables, x, key, train=False,
+                                  mode="qat", update_stats=True)
+    variables = convert_model(model, variables, x, key)
+    return cfg, model, variables, x
+
+
+def measure_rtt():
+    @jax.jit
+    def ping(v):
+        return lax.fori_loop(0, 8, lambda i, a: a + (v * 1.0001)[:2].sum(),
+                             jnp.zeros(()))
+    np.asarray(ping(jnp.ones((128,))))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(ping(jnp.ones((128,))))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def timed_loop(fn, args, iters: int, rtt: float, reps: int = 3):
+    """Chained fori_loop timing of fn(*args, i_key) -> (B, 10)."""
+
+    @jax.jit
+    def loop(*a):
+        def body(i, acc):
+            return acc + fn(*a, jax.random.fold_in(jax.random.PRNGKey(11),
+                                                   i))
+        return lax.fori_loop(0, iters, body, jnp.zeros(()))
+
+    np.asarray(loop(*args))  # compile + warmup
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = np.asarray(loop(*args))
+        best = min(best, time.perf_counter() - t0)
+        assert np.isfinite(out)
+    return (best - rtt) / iters
+
+
+def mc_eval_cell(name, model_name, dataset, batch, samples, rtt, iters,
+                 p=0.0, chunk=None):
+    cfg, model, variables, x = build_int8(model_name, dataset, batch,
+                                          samples, p=p)
+    plan = presample_plan(variables) if samples > 1 else None
+
+    if chunk and samples > chunk:
+        # chunked-scan over the sample axis to bound HBM residency
+        if plan is not None:
+            # production bulk-draw + chunked-scan path (bench.py)
+            def predict(variables, x, key):
+                k_w, key = jax.random.split(key)
+                sampled = draw_sampled_weights(variables, plan, k_w,
+                                               samples)
+                sampled = jax.tree.map(
+                    lambda l: l.reshape((samples // chunk, chunk)
+                                        + l.shape[1:]), sampled)
+                keys = jax.random.split(key, samples // chunk)
+
+                def body(carry, sk):
+                    s_tree, k = sk
+                    outs = mc_predict(model, variables, x, k,
+                                      samples=chunk, mode="int",
+                                      plan=plan, presampled=s_tree)
+                    return carry + jnp.sum(outs, axis=0), 0.0
+
+                total, _ = lax.scan(body, jnp.zeros((batch, 10)),
+                                    (sampled, keys))
+                return total / samples
+        else:
+            # no presampling plan (e.g. mcdropout): scan plain chunks
+            def predict(variables, x, key):
+                keys = jax.random.split(key, samples // chunk)
+
+                def body(carry, k):
+                    outs = mc_predict(model, variables, x, k,
+                                      samples=chunk, mode="int")
+                    return carry + jnp.sum(outs, axis=0), 0.0
+
+                total, _ = lax.scan(body, jnp.zeros((batch, 10)), keys)
+                return total / samples
+    else:
+        def predict(variables, x, key):
+            outs = mc_predict(model, variables, x, key, samples=samples,
+                              mode="int", plan=plan)
+            return aggregate("classification", outs, samples)
+
+    def fn(variables, x, key):
+        return predict(variables, x, key).sum()
+
+    dt = timed_loop(fn, (variables, x), iters, rtt)
+    print(json.dumps({
+        "cell": name, "batch": batch, "samples": samples,
+        "ms_per_batch": round(dt * 1e3, 2),
+        "example_samples_per_sec": round(batch * samples / dt, 1),
+    }), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="fewer loop iters (still RTT-corrected)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated cell-name substrings to run")
+    args = ap.parse_args()
+    iters = 4 if args.quick else 12
+
+    print("devices:", jax.devices(), flush=True)
+    rtt = measure_rtt()
+    print(f"RTT {rtt*1e3:.1f} ms", flush=True)
+
+    cells = [
+        ("resnet_bbb_int8_mc", dict(model_name="conv_resnet_bbb",
+                                    dataset="cifar", batch=256,
+                                    samples=100, chunk=20)),
+        ("resnet_mcdropout_int8_mc", dict(model_name="conv_resnet_mc",
+                                          dataset="cifar", batch=256,
+                                          samples=100, p=0.15, chunk=20)),
+        ("resnet_pointwise_int8", dict(model_name="conv_resnet",
+                                       dataset="cifar", batch=256,
+                                       samples=1)),
+        ("lenet_bbb_int8_mc", dict(model_name="conv_lenet_bbb",
+                                   dataset="mnist", batch=256,
+                                   samples=100, chunk=None)),
+        ("serving_latency_resnet_bbb_int8_b1", dict(
+            model_name="conv_resnet_bbb", dataset="cifar", batch=1,
+            samples=100, chunk=None)),
+    ]
+    for name, kw in cells:
+        if args.only and not any(s in name
+                                 for s in args.only.split(",")):
+            continue
+        try:
+            mc_eval_cell(name, rtt=rtt, iters=iters, **kw)
+        except Exception as e:  # keep the rest of the table alive
+            print(json.dumps({"cell": name, "error": repr(e)[:300]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
