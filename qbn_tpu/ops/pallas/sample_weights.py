@@ -136,20 +136,34 @@ def _standard_normal_pair_fast(shape):
     return r * c, r * s
 
 
-def _body(eps, w, std, q_ref, w_lo, w_hi):
+def _body_parts(w, std, q_ref):
+    """Per-grid-step invariants: dequantised w/std fields and scalar
+    reciprocals (scalar divisions happen once, not per output element —
+    a vector divide per element is the costliest op in the chain)."""
     (w_scale, w_zp, std_scale, std_zp, mul_scale, mul_zp, add_scale,
      add_zp) = [q_ref[i] for i in range(8)]
+    std_f = (std.astype(jnp.float32) - std_zp) * std_scale
+    w_f = (w.astype(jnp.float32) - w_zp) * w_scale
+    consts = (mul_scale, mul_zp, 1.0 / mul_scale, add_zp, 1.0 / add_scale)
+    return w_f, std_f, consts
+
+
+def _body_from(eps, w_f, std_f, consts, w_lo, w_hi):
+    mul_scale, mul_zp, inv_mul, add_zp, inv_add = consts
     # noise quantised at the fixed 3/127 scale, zero point 0
     eps_q = jnp.clip(jnp.round(eps * (1.0 / NOISE_SCALE)), -128, 127)
     # quantised multiply: requant(deq(std) * deq(eps)) on the mul grid
-    std_f = (std.astype(jnp.float32) - std_zp) * std_scale
-    prod = jnp.clip(jnp.round(std_f * (eps_q * NOISE_SCALE) / mul_scale)
+    prod = jnp.clip(jnp.round(std_f * (eps_q * NOISE_SCALE) * inv_mul)
                     + mul_zp, -128, 127)
     # quantised add: requant(deq(w) + deq(prod)) on the add grid
-    w_f = (w.astype(jnp.float32) - w_zp) * w_scale
     prod_f = (prod - mul_zp) * mul_scale
-    ws = jnp.clip(jnp.round((w_f + prod_f) / add_scale) + add_zp, -128, 127)
+    ws = jnp.clip(jnp.round((w_f + prod_f) * inv_add) + add_zp, -128, 127)
     return jnp.clip(ws, w_lo, w_hi).astype(jnp.int8)
+
+
+def _body(eps, w, std, q_ref, w_lo, w_hi):
+    w_f, std_f, consts = _body_parts(w, std, q_ref)
+    return _body_from(eps, w_f, std_f, consts, w_lo, w_hi)
 
 
 def _kernel_prng(seed_ref, w_ref, std_ref, q_ref, out_ref, *, w_lo, w_hi):
@@ -166,9 +180,9 @@ def _kernel_prng_pair(seed_ref, w_ref, std_ref, q_ref, out_ref, *,
     pltpu.prng_seed(seed_ref[0] + s)
     draw = _standard_normal_pair_fast if fast else _standard_normal_pair
     eps_a, eps_b = draw(w_ref.shape)
-    w, std = w_ref[:], std_ref[:]
-    out_ref[0] = _body(eps_a, w, std, q_ref, w_lo, w_hi)
-    out_ref[1] = _body(eps_b, w, std, q_ref, w_lo, w_hi)
+    w_f, std_f, consts = _body_parts(w_ref[:], std_ref[:], q_ref)
+    out_ref[0] = _body_from(eps_a, w_f, std_f, consts, w_lo, w_hi)
+    out_ref[1] = _body_from(eps_b, w_f, std_f, consts, w_lo, w_hi)
 
 
 def _kernel_noise(w_ref, std_ref, q_ref, noise_ref, out_ref, *, w_lo, w_hi):
@@ -266,11 +280,11 @@ def sample_weights_oracle(w_codes, std_codes, qparams, noise, w_lo, w_hi):
     std_f = (std_codes.astype(jnp.float32)
              - qparams["std_zp"]) * qparams["std_scale"]
     prod = jnp.clip(jnp.round(std_f * (eps_q * NOISE_SCALE)
-                              / qparams["mul_scale"]) + qparams["mul_zp"],
-                    -128, 127)
+                              * (1.0 / qparams["mul_scale"]))
+                    + qparams["mul_zp"], -128, 127)
     w_f = (w_codes.astype(jnp.float32)
            - qparams["w_zp"]) * qparams["w_scale"]
     prod_f = (prod - qparams["mul_zp"]) * qparams["mul_scale"]
-    ws = jnp.clip(jnp.round((w_f + prod_f) / qparams["add_scale"])
+    ws = jnp.clip(jnp.round((w_f + prod_f) * (1.0 / qparams["add_scale"]))
                   + qparams["add_zp"], -128, 127)
     return jnp.clip(ws, w_lo, w_hi).astype(jnp.int8)
