@@ -65,6 +65,47 @@ def _centered_weights(w8, w_zp):
     return (w8.astype(jnp.float32) - w_zp).astype(jnp.bfloat16)
 
 
+# Shallow-cin im2col (QBN_IM2COL=on, DEFAULT OFF — measured dead end):
+# the hypothesis was that XLA's conv lowering contracts only ~cin lanes
+# per MXU pass, so materialising kh*kw patches (a 1x1 conv contracting
+# K = kh*kw*cin) should win up to kh*kw x for tiny cin. MEASURED on the
+# real v5e: XLA's conv already beats the explicit-patch formulation at
+# every shallow shape — CIFAR stem (cin=3, shared-x merged) 0.518 ms vs
+# 0.598 ms im2col; LeNet conv1 (cin=1, 5x5) 0.366 ms vs 0.424 ms — i.e.
+# the lowering does its own small-cin packing and the patch
+# materialisation only adds traffic. Kept flag-gated + bitwise-tested
+# (tests/test_int_conv.py::test_im2col_shallow_cin_bitwise) as the
+# measurement that justifies trusting XLA's conv here; see also
+# tools/microbench_wfold.py for the grouped-conv variant of the same
+# negative result (kw-tap folding: 0.90 -> 2.05 ms at stage-1 shapes).
+_IM2COL_MAX_K = 128
+
+
+def _use_im2col(kh, kw, cin):
+    import os
+    if os.environ.get("QBN_IM2COL", "off") != "on":
+        return False
+    return kh * kw > 1 and kh * kw * cin <= _IM2COL_MAX_K
+
+
+def _im2col(x, kh, kw, strides, padding):
+    """(B, H, W, C) -> (B, H', W', kh*kw*C) patch tensor.
+
+    Patch order (dh-major, dw, then C fastest) matches the
+    (kh, kw, cin, N) -> (kh*kw*cin, N) weight reshape, so
+    conv(x, w) == conv1x1(_im2col(x), w.reshape(1, 1, kh*kw*cin, N))
+    exactly (integer-valued operands: f32/bf16 accumulation order is
+    irrelevant under the 2^24 exactness bounds)."""
+    x = jnp.pad(x, ((0, 0), tuple(padding[0]), tuple(padding[1]), (0, 0)))
+    h, w = x.shape[1], x.shape[2]
+    cols = []
+    for dh in range(kh):
+        for dw in range(kw):
+            cols.append(x[:, dh:h - kh + 1 + dh:strides[0],
+                          dw:w - kw + 1 + dw:strides[1], :])
+    return jnp.concatenate(cols, axis=-1)
+
+
 def _conv_operands(x8, w8, k: int):
     """Pick the fastest EXACT MXU dtype for an int8 conv contraction."""
     if k <= _BF16_EXACT_K:
@@ -167,9 +208,14 @@ def _int_conv_impl(x_codes, x_scale, w8, w_scale, w_zp, bias, out_scale,
                    out_zp, strides, padding, a_lo, a_hi, relu):
     kh, kw, cin, cout = w8.shape
     if kh * kw * cin <= _BF16_CENTERED_K:
+        wc = _centered_weights(w8, w_zp)
+        xb = x_codes.astype(jnp.bfloat16)
+        if _use_im2col(kh, kw, cin):
+            xb = _im2col(xb, kh, kw, strides, padding)
+            wc = wc.reshape(1, 1, kh * kw * cin, cout)
+            strides, padding = (1, 1), ((0, 0), (0, 0))
         acc = lax.conv_general_dilated(
-            x_codes.astype(jnp.bfloat16), _centered_weights(w8, w_zp),
-            strides, padding, dimension_numbers=_DN,
+            xb, wc, strides, padding, dimension_numbers=_DN,
             preferred_element_type=jnp.float32)
         return _requant_out(acc * (x_scale * w_scale), bias, out_scale,
                             out_zp, relu, a_lo, a_hi)
@@ -219,9 +265,15 @@ def _conv_core(strides, padding, a_lo: int, a_hi: int, relu: bool):
             k = kh * kw * cin
             if k <= _BF16_CENTERED_K:
                 # centered weights: no window-sum correction needed
+                wc = _centered_weights(wm, wzp)
+                xb = x.astype(jnp.bfloat16)
+                st, pd = strides, padding
+                if _use_im2col(kh, kw, cin):
+                    xb = _im2col(xb, kh, kw, st, pd)
+                    wc = wc.reshape(1, 1, k, s * cout)
+                    st, pd = (1, 1), ((0, 0), (0, 0))
                 acc = lax.conv_general_dilated(
-                    x.astype(jnp.bfloat16), _centered_weights(wm, wzp),
-                    strides, padding, dimension_numbers=_DN,
+                    xb, wc, st, pd, dimension_numbers=_DN,
                     preferred_element_type=jnp.float32)
                 b, ho, wo = acc.shape[:3]
                 acc_f = (acc.reshape(b, ho, wo, s, cout) * (xs * ws))
@@ -377,8 +429,16 @@ def int_conv_merged(x_codes, x_scale, w_codes, w_scale, w_zp, bias,
         # centered-weight path: the zero-point correction vanishes
         wc = _centered_weights(
             jnp.moveaxis(w8, 0, 3).reshape(kh, kw, cin, s * cout), w_zp)
+        xb = x_codes.astype(jnp.bfloat16)
+        st, pd = strides, padding
+        if fgc == 1 and _use_im2col(kh, kw, cin):
+            # shallow-cin shared-x conv (the stem): materialised patches
+            # lift the MXU contraction from cin to kh*kw*cin per pass
+            xb = _im2col(xb, kh, kw, st, pd)
+            wc = wc.reshape(1, 1, k, s * cout)
+            st, pd = (1, 1), ((0, 0), (0, 0))
         acc = lax.conv_general_dilated(
-            x_codes.astype(jnp.bfloat16), wc, strides, padding,
+            xb, wc, st, pd,
             dimension_numbers=_DN, feature_group_count=fgc,
             preferred_element_type=jnp.float32)
         b, ho, wo = acc.shape[:3]

@@ -159,3 +159,46 @@ def test_mc_group_conv_kernel_matches_per_sample():
                      (1, 1), [(1, 1)] * 2, 0, 127, relu=True)
             for i in range(s)])
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_im2col_shallow_cin_bitwise(monkeypatch):
+    """The shallow-cin im2col formulation (patches + 1x1 conv; flag-gated
+    QBN_IM2COL=on — measured SLOWER than XLA's own conv on v5e, kept as
+    the measurement library) must be bitwise-identical to the plain
+    conv — incl. strides and asymmetric padding — for both the single
+    int_conv and the merged shared-x stem path."""
+    from qbn_tpu.ops import integer as I
+    from qbn_tpu.ops.integer import int_conv_merged
+
+    rng = np.random.RandomState(7)
+    cases = [
+        ((1, 1), [(1, 1), (1, 1)], 3),     # the CIFAR stem shape family
+        ((2, 2), [(1, 2), (0, 1)], 4),     # stride + asymmetric padding
+        ((1, 1), [(2, 2), (2, 2)], 1),     # LeNet 5x5 cin=1 (below, kh=5)
+    ]
+    for (strides, pad, cin), kh in zip(cases, (3, 3, 5)):
+        u, wc, bias = _rand_case(rng, cin=cin, cout=24, kh=kh, kw=kh)
+        args = (0.02, 3, wc, 0.005, -9, bias, 0.03, 17, strides, pad,
+                0, 127, True)
+        monkeypatch.setenv("QBN_IM2COL", "on")
+        assert I._use_im2col(kh, kh, cin)
+        got = int_conv(u, *args)
+        monkeypatch.delenv("QBN_IM2COL")
+        assert not I._use_im2col(kh, kh, cin)
+        want = int_conv(u, *args)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # merged shared-x stem: (B,H,W,cin) x (S,kh,kw,cin,cout)
+    s = 3
+    u = jnp.asarray(rng.randint(-100, 101, (2, 8, 8, 3)).astype(np.int8))
+    ws = jnp.asarray(rng.randint(-128, 128, (s, 3, 3, 3, 24)).astype(np.int8))
+    bias = jnp.asarray(rng.randn(24).astype(np.float32) * 0.1)
+    margs = dict(x_scale=0.02, w_scale=0.005, w_zp=-9, bias=bias,
+                 out_scale=0.03, out_zp=17, strides=(1, 1),
+                 padding=((1, 1), (1, 1)), a_lo=0, a_hi=127, relu=True,
+                 shared_x=True)
+    monkeypatch.setenv("QBN_IM2COL", "on")
+    got = int_conv_merged(u, w_codes=ws, **margs)
+    monkeypatch.delenv("QBN_IM2COL")
+    want = int_conv_merged(u, w_codes=ws, **margs)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
