@@ -8,7 +8,7 @@
 set -x
 DATA=/tmp/parity/data_diabetes
 W=/tmp/parity
-DS="housing:3"
+DS="synthetic:1,housing:3"
 cd /root/repo
 
 python parity/make_diabetes.py --out $DATA
