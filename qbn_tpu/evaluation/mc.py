@@ -174,19 +174,39 @@ def aggregate(task: str, outs, samples: int):
     return mean, total_var
 
 
+# Eval-step memo: the uncertainty sweep calls evaluate_with_loader once
+# per cell (3 splits + OOD + 15 distortion cells); a fresh @jax.jit per
+# cell would retrace AND remote-recompile the identical program every
+# time (~45 s/cell through the relay — measured as the dominant eval
+# cost, dwarfing the actual MC compute). Keyed by step semantics; values
+# keep the model/mesh referents alive so id() keys stay valid.
+_STEP_CACHE: dict = {}
+_SCAN_CACHE: dict = {}
+
+
 def make_mc_eval(model, cfg: Config, mode: str, samples: Optional[int] = None,
                  ensemble: bool = False, plan=None, mesh=None):
     """Jitted batch evaluator: (variables, metric_state, x, y, key) ->
     (metric_state, aggregated_output). `plan` (from presample_plan) enables
     the fused bulk weight draw on the INT path. With a mesh (and
     samples % n_devices == 0) the sample axis is sharded over the devices,
-    composing with the plan (qbn_tpu.parallel.sharded)."""
+    composing with the plan (qbn_tpu.parallel.sharded). Steps are memoised
+    across calls (same model/mode/samples/plan -> same compiled program)."""
     samples = cfg.samples if samples is None else samples
+    plan_key = None if plan is None else tuple(
+        (tuple(p), int(lo), int(hi)) for p, lo, hi in plan)
+    cache_key = (id(model), id(mesh), cfg.task, mode, samples, ensemble,
+                 plan_key)
+    hit = _STEP_CACHE.get(cache_key)
+    if hit is not None:
+        return hit[-1]
     if mesh is not None and samples % mesh.devices.size == 0 and samples > 1:
         from qbn_tpu.parallel.sharded import make_sharded_mc_eval
-        return make_sharded_mc_eval(model, cfg, mode, mesh,
+        step = make_sharded_mc_eval(model, cfg, mode, mesh,
                                     samples=samples, ensemble=ensemble,
                                     plan=plan)
+        _STEP_CACHE[cache_key] = (model, mesh, step)
+        return step
     task = cfg.task
 
     @jax.jit
@@ -201,7 +221,31 @@ def make_mc_eval(model, cfg: Config, mode: str, samples: Optional[int] = None,
             metric_state = M.reg_metrics_update(metric_state, mean, var, y)
         return metric_state, agg
 
+    _STEP_CACHE[cache_key] = (model, mesh, step)
     return step
+
+
+def _scan_eval(step, k: int):
+    """jitted scan of `step` over k stacked batches: ONE dispatch and ONE
+    device->host fetch per split instead of per batch (each per-batch
+    fetch pays the ~100-200 ms relay RTT). Memoised on (step, k) so all
+    same-length cells (test/OOD/15 distortion sets) share one compile."""
+    hit = _SCAN_CACHE.get((id(step), k))
+    if hit is not None:
+        return hit[-1]
+
+    @jax.jit
+    def run(variables, metric_state, xs, ys, base_key, key_base_idx):
+        def body(ms, inp):
+            i, x, y = inp
+            kk = jax.random.fold_in(base_key, key_base_idx + i)
+            ms, agg = step(variables, ms, x, y, kk)
+            return ms, agg
+        return jax.lax.scan(body, metric_state,
+                            (jnp.arange(k, dtype=jnp.int32), xs, ys))
+
+    _SCAN_CACHE[(id(step), k)] = (step, run)
+    return run
 
 
 def evaluate_with_loader(loader, model, variables, cfg: Config, mode: str,
@@ -233,7 +277,42 @@ def evaluate_with_loader(loader, model, variables, cfg: Config, mode: str,
         jax.random.PRNGKey(cfg.seed + 1234),
         zlib.crc32(salt.encode()) & 0x7FFFFFFF)
     t0 = time.time()
-    for i, (x, y) in enumerate(loader):
+    batches = []
+    for x, y in loader:
+        batches.append((np.asarray(x), np.asarray(y)))
+        if cfg.debug:
+            break
+    # Scan fast path: stack the split's full-size batches on device and
+    # lax.scan the eval step over them — one dispatch + one fetch per
+    # split instead of per batch (per-batch host syncs pay the relay RTT
+    # each; identical keys/arithmetic to the per-batch loop, tested
+    # bitwise in tests/test_eval_scan.py). Mesh runs keep the loop (the
+    # sharded step manages its own data placement).
+    import os
+    k = len(batches)
+    if k > 1 and batches[-1][0].shape != batches[0][0].shape:
+        k -= 1
+    use_scan = (mesh is None and not cfg.debug and k >= 2
+                and os.environ.get("QBN_EVAL_SCAN", "on") != "off"
+                and all(b[0].shape == batches[0][0].shape
+                        for b in batches[:k]))
+    start = 0
+    if use_scan:
+        xs = jnp.asarray(np.stack([b[0] for b in batches[:k]]))
+        ysb = jnp.asarray(np.stack([b[1] for b in batches[:k]]))
+        run = _scan_eval(step, k)
+        metric_state, aggs = run(variables, metric_state, xs, ysb,
+                                 base_key,
+                                 jnp.asarray(seed * 1000003, jnp.int32))
+        n_examples += sum(len(b[1]) for b in batches[:k])
+        if collect_outputs:
+            outputs.append(jax.tree.map(
+                lambda a: np.asarray(a).reshape((-1,) + a.shape[2:]),
+                aggs))
+            targets.append(np.concatenate([b[1] for b in batches[:k]]))
+        start = k
+    for i in range(start, len(batches)):
+        x, y = batches[i]
         key = jax.random.fold_in(base_key, seed * 1000003 + i)
         metric_state, agg = step(variables, metric_state, jnp.asarray(x),
                                  jnp.asarray(y), key)
@@ -241,8 +320,6 @@ def evaluate_with_loader(loader, model, variables, cfg: Config, mode: str,
         if collect_outputs:
             outputs.append(jax.tree.map(np.asarray, agg))
             targets.append(np.asarray(y))
-        if cfg.debug:
-            break
     jax.block_until_ready(metric_state)
     dt = max(time.time() - t0, 1e-9)
     sps = n_examples * samples / dt
