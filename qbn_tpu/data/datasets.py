@@ -26,6 +26,7 @@ log = logging.getLogger(__name__)
 
 CIFAR_MEAN = np.array([0.4914, 0.4822, 0.4465], np.float32)
 CIFAR_STD = np.array([0.2023, 0.1994, 0.2010], np.float32)
+CIFAR_INV_STD = (np.float32(1.0) / CIFAR_STD).astype(np.float32)
 MNIST_MEAN = np.array([0.0], np.float32)
 MNIST_STD = np.array([1.0], np.float32)
 
@@ -201,5 +202,9 @@ def load_images(name: str, data_dir: str, train: bool):
 
 def normalize(x: np.ndarray, name: str) -> np.ndarray:
     if name in ("cifar", "svhn"):
-        return (x - CIFAR_MEAN) / CIFAR_STD
+        # multiply by the precomputed f32 reciprocal rather than divide:
+        # XLA canonicalises constant divides into reciprocal multiplies,
+        # so this exact formulation keeps the host pipeline bitwise equal
+        # to the device-resident epoch scan (trainer._device_normalize)
+        return (x - CIFAR_MEAN) * CIFAR_INV_STD
     return x  # mnist / fashion_mnist: mean 0, std 1 (reference choice)

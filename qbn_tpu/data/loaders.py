@@ -28,9 +28,7 @@ def augment_cifar(x: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
     threaded C++ pipeline when available (qbn_tpu.data.native); the numpy
     fallback is bit-identical given the same sampled parameters."""
     n, h, w, c = x.shape
-    ys = rng.randint(0, 9, n)
-    xs = rng.randint(0, 9, n)
-    flip = (rng.rand(n) < 0.5).astype(np.uint8)
+    ys, xs, flip = cifar_augment_params(rng, n)
     from qbn_tpu.data import native
     if native.available():
         return native.cifar_augment(x, ys, xs, flip)
@@ -42,6 +40,18 @@ def augment_cifar(x: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
         pad[4:4 + h, 4:4 + w, :] = base
         out[i] = pad[ys[i]:ys[i] + h, xs[i]:xs[i] + w, :]
     return out
+
+
+def cifar_augment_params(rng: np.random.RandomState, n: int):
+    """The exact RNG draws augment_cifar makes for an n-image batch.
+
+    Split out so the device-resident epoch scan (training/trainer.py) can
+    consume the loader's RandomState IDENTICALLY to the host path and
+    replay the crop/flip on device bit-for-bit."""
+    ys = rng.randint(0, 9, n)
+    xs = rng.randint(0, 9, n)
+    flip = (rng.rand(n) < 0.5).astype(np.uint8)
+    return ys, xs, flip
 
 
 class ArrayLoader:
@@ -64,6 +74,8 @@ class ArrayLoader:
         self.augment = augment
         self.normalize = normalize
         self.rng = np.random.RandomState(seed)
+        self.normalize_kind = None   # set by loader factories; names a
+        # device-replayable normalize recipe for the epoch-scan path
         self.drop_last = shuffle if drop_last is None else drop_last
         n = len(x)
         if self.drop_last and n >= batch_size:
@@ -89,6 +101,26 @@ class ArrayLoader:
             if self.normalize is not None:
                 xb = self.normalize(xb)
             yield xb, self.y[sel]
+
+    def epoch_plan(self):
+        """Advance the loader's RandomState exactly one epoch and return
+        (idx, aug_params): the permutation and, for the CIFAR augmenter,
+        stacked per-batch (ys, xs, flip) crop/flip draws — the device-
+        resident epoch scan replays them on device bit-for-bit. Consumes
+        the SAME draws in the SAME order as one __iter__ pass, so scanned
+        and host epochs interleave/compare exactly."""
+        n = len(self.x)
+        idx = self.rng.permutation(n) if self.shuffle else np.arange(n)
+        aug = None
+        if self.augment is not None:
+            if self.augment is not augment_cifar:
+                raise ValueError("epoch_plan: unknown augmenter")
+            draws = [cifar_augment_params(
+                self.rng,
+                len(idx[b * self.batch_size:(b + 1) * self.batch_size]))
+                for b in range(self._len)]
+            aug = tuple(np.stack([d[i] for d in draws]) for i in range(3))
+        return idx, aug
 
 
 def _train_valid_split(x, y, valid_portion: float, seed: int):
@@ -126,12 +158,15 @@ def get_train_loaders(cfg, split: int = -1
 
     (xt, yt), (xv, yv) = _train_valid_split(x, y, cfg.valid_portion,
                                             cfg.seed)
+    kind = "cifar" if cfg.dataset == "cifar" else None
     train = ArrayLoader(xt, yt, cfg.batch_size, shuffle=True, seed=cfg.seed,
                         augment=augment, normalize=normalize)
+    train.normalize_kind = kind
     valid = None
     if cfg.valid_portion > 0:
         valid = ArrayLoader(xv, yv, cfg.batch_size, shuffle=False,
                             normalize=normalize)
+        valid.normalize_kind = kind
     log.info("train size %d, valid size %d", len(xt), len(xv))
     return train, valid
 

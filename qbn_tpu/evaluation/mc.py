@@ -288,12 +288,12 @@ def evaluate_with_loader(loader, model, variables, cfg: Config, mode: str,
     # each; identical keys/arithmetic to the per-batch loop, tested
     # bitwise in tests/test_eval_scan.py). Mesh runs keep the loop (the
     # sharded step manages its own data placement).
-    import os
+    from qbn_tpu.utils import scan_enabled
     k = len(batches)
     if k > 1 and batches[-1][0].shape != batches[0][0].shape:
         k -= 1
     use_scan = (mesh is None and not cfg.debug and k >= 2
-                and os.environ.get("QBN_EVAL_SCAN", "on") != "off"
+                and scan_enabled("QBN_EVAL_SCAN")
                 and all(b[0].shape == batches[0][0].shape
                         for b in batches[:k]))
     start = 0

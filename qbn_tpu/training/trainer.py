@@ -29,6 +29,7 @@ from typing import Any, Dict, Iterable, Optional, Tuple
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from qbn_tpu.config import Config
@@ -148,6 +149,49 @@ def make_eval_step(model, cfg: Config, mode: str, update_observers: bool,
     return jax.jit(step) if jit_compile else step
 
 
+def _device_augment_cifar(x, ys, xs, flip):
+    """Bitwise device replay of loaders.augment_cifar: flip, pad 4 with
+    zeros, random 32x32 crop — pure integer pixel moves, so identical to
+    the host/native path given the same sampled parameters."""
+    xf = jnp.where(flip[:, None, None, None].astype(bool),
+                   x[:, :, ::-1, :], x)
+    xp = jnp.pad(xf, ((0, 0), (4, 4), (4, 4), (0, 0)))
+
+    def crop(img, y0, x0):
+        return jax.lax.dynamic_slice(img, (y0, x0, 0), x.shape[1:])
+
+    return jax.vmap(crop)(xp, ys, xs)
+
+
+def _device_normalize(x, kind):
+    if kind == "cifar":
+        from qbn_tpu.data.datasets import CIFAR_INV_STD, CIFAR_MEAN
+        return (x - jnp.asarray(CIFAR_MEAN)) * jnp.asarray(CIFAR_INV_STD)
+    return x
+
+
+def _scan_eligible(cfg, mesh, loader, need_full: bool) -> bool:
+    """Device-resident epoch scan preconditions: single device, no debug
+    single-batch mode, an ArrayLoader whose augment/normalize recipe we
+    can replay on device, and (for training) only full-size batches."""
+    from qbn_tpu.data.loaders import ArrayLoader, augment_cifar
+    from qbn_tpu.utils import scan_enabled
+    if mesh is not None or cfg.debug:
+        return False
+    if not scan_enabled("QBN_EPOCH_SCAN"):
+        return False
+    if not isinstance(loader, ArrayLoader) or len(loader) < 2:
+        return False
+    if loader.augment is not None and loader.augment is not augment_cifar:
+        return False
+    if loader.normalize is not None and \
+            getattr(loader, "normalize_kind", None) is None:
+        return False
+    if need_full and len(loader) * loader.batch_size > len(loader.x):
+        return False
+    return True
+
+
 class Trainer:
     """Host-side epoch loop around the jitted steps."""
 
@@ -183,10 +227,90 @@ class Trainer:
             self._sharded_eval_step = make_sharded_eval_step(
                 model, cfg, mode, (mode == "qat"), mesh)
 
+        self._dev_data = {}          # id(loader) -> (x_dev, y_dev)
+        self._train_scan = None
+        self._eval_scans = {}        # (id(loader), k) -> jitted scan
+
     def _pick_step(self, sharded, plain, batch_len: int):
         if sharded is not None and batch_len % self.mesh.devices.size == 0:
             return sharded, True
         return plain, False
+
+    # ---- device-resident epoch scan --------------------------------
+    # The per-step host loop pays one H2D upload + dispatch per batch
+    # through the axon relay (whose host staging buffers leak ~3 MB per
+    # transfer on long runs — measured OOM risk at CIFAR batch sizes)
+    # and syncs every report_freq steps. The scan path uploads the raw
+    # dataset ONCE, replays the loader's shuffle + augment draws on
+    # device bit-for-bit (loaders.epoch_plan), and runs a whole epoch as
+    # one lax.scan: one dispatch, one fetch, zero per-step H2D.
+
+    def _loader_dev(self, loader):
+        key = id(loader)
+        if key not in self._dev_data:
+            self._dev_data[key] = (jnp.asarray(loader.x),
+                                   jnp.asarray(loader.y))
+        return self._dev_data[key]
+
+    def _get_train_scan(self, loader):
+        if self._train_scan is not None:
+            return self._train_scan
+        k, bsz = len(loader), loader.batch_size
+        augmented = loader.augment is not None
+        norm = getattr(loader, "normalize_kind", None) \
+            if loader.normalize is not None else None
+        step = self._train_step
+
+        @jax.jit
+        def run(state, metric_state, xd, yd, idx, ays, axs, afl):
+            xe = jnp.take(xd, idx, 0).reshape((k, bsz) + xd.shape[1:])
+            ye = jnp.take(yd, idx, 0).reshape((k, bsz) + yd.shape[1:])
+
+            def body(carry, inp):
+                st, ms = carry
+                x, y, a_ys, a_xs, a_fl = inp
+                if augmented:
+                    x = _device_augment_cifar(x, a_ys, a_xs, a_fl)
+                x = _device_normalize(x, norm)
+                st, ms, logs = step(st, ms, x, y)
+                return (st, ms), logs
+
+            (st, ms), logs = jax.lax.scan(
+                body, (state, metric_state), (xe, ye, ays, axs, afl))
+            return st, ms, jax.tree.map(lambda a: a[-1], logs)
+
+        self._train_scan = run
+        return run
+
+    def _get_eval_scan(self, loader, k: int):
+        ck = (id(loader), k)
+        if ck in self._eval_scans:
+            return self._eval_scans[ck]
+        bsz = loader.batch_size
+        norm = getattr(loader, "normalize_kind", None) \
+            if loader.normalize is not None else None
+        step = self._eval_step
+
+        @jax.jit
+        def run(state, metric_state, xd, yd, base_key, key_base_idx):
+            xe = xd[:k * bsz].reshape((k, bsz) + xd.shape[1:])
+            ye = yd[:k * bsz].reshape((k, bsz) + yd.shape[1:])
+
+            def body(carry, inp):
+                st, ms = carry
+                i, x, y = inp
+                x = _device_normalize(x, norm)
+                key = jax.random.fold_in(base_key, key_base_idx + i)
+                st, ms = step(st, ms, x, y, key)
+                return (st, ms), None
+
+            (st, ms), _ = jax.lax.scan(
+                body, (state, metric_state),
+                (jnp.arange(k, dtype=jnp.int32), xe, ye))
+            return st, ms
+
+        self._eval_scans[ck] = run
+        return run
 
     def init_state(self, variables, rng) -> TrainState:
         params = variables["params"]
@@ -204,6 +328,23 @@ class Trainer:
         t0 = time.time()
         metric_state = _metrics_init(self.cfg.task)
         logs = {}
+        loader = self.train_loader
+        if _scan_eligible(self.cfg, self.mesh, loader, need_full=True):
+            idx, aug = loader.epoch_plan()
+            k, bsz = len(loader), loader.batch_size
+            if aug is None:
+                dummy = np.zeros((k, bsz), np.int32)
+                aug = (dummy, dummy, dummy)
+            xd, yd = self._loader_dev(loader)
+            run = self._get_train_scan(loader)
+            state, metric_state, logs = run(
+                state, metric_state, xd, yd,
+                jnp.asarray(idx[:k * bsz]), *map(jnp.asarray, aug))
+            out = {k2: float(v) for k2, v in
+                   _metrics_compute(self.cfg.task, metric_state).items()}
+            out.update({k2: float(v) for k2, v in logs.items()})
+            self.train_time += time.time() - t0
+            return state, out
         for i, (x, y) in enumerate(self.train_loader):
             step, sharded = self._pick_step(self._sharded_train_step,
                                             self._train_step, len(y))
@@ -222,10 +363,36 @@ class Trainer:
         self.train_time += time.time() - t0
         return state, out
 
+    def _eval_batches(self, loader, start: int):
+        """Batches from index `start` on. start > 0 only on the eval-scan
+        path (shuffle=False, augment=None — see _scan_eligible), where the
+        remainder batch is sliced directly."""
+        if start == 0:
+            yield from enumerate(loader)
+            return
+        bsz = loader.batch_size
+        for i in range(start, len(loader)):
+            xb = loader.x[i * bsz:(i + 1) * bsz]
+            if loader.normalize is not None:
+                xb = loader.normalize(xb)
+            yield i, (xb, loader.y[i * bsz:(i + 1) * bsz])
+
     def eval_epoch(self, state: TrainState, loader, seed: int = 0):
         t0 = time.time()
         metric_state = _metrics_init(self.cfg.task)
-        for i, (x, y) in enumerate(loader):
+        start = 0
+        if _scan_eligible(self.cfg, self.mesh, loader, need_full=False) \
+                and not loader.shuffle and loader.augment is None:
+            k = len(loader.x) // loader.batch_size
+            if k >= 2:
+                xd, yd = self._loader_dev(loader)
+                run = self._get_eval_scan(loader, k)
+                state, metric_state = run(
+                    state, metric_state, xd, yd,
+                    jax.random.PRNGKey(self.cfg.seed + 17),
+                    jnp.asarray(seed * 100003, jnp.int32))
+                start = k
+        for i, (x, y) in self._eval_batches(loader, start):
             key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 17),
                                      seed * 100003 + i)
             step, sharded = self._pick_step(self._sharded_eval_step,

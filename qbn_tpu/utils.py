@@ -19,6 +19,28 @@ def split_rngs(key, train: bool = False):
     return {"noise": k_noise, "dropout": k_drop}
 
 
+def scan_enabled(env_var: str) -> bool:
+    """Whether a whole-epoch/whole-split lax.scan fast path should run.
+
+    The scan paths exist to amortise the axon relay's per-dispatch cost on
+    TPU (one dispatch + one fetch per epoch/split). On XLA **CPU** they are
+    a measured catastrophe: convolutions inside a scan body lose the Eigen
+    runtime fast path and fall back to naive LLVM loop nests (LeNet train
+    step 0.44 s -> 9.98 s/step, 23x, measured on this host). So the
+    default is backend-gated: on for any accelerator (the TPU platform is
+    named 'axon' through this host's relay), off for CPU. `env_var`:
+    "on" forces the scan (tests exercise it on CPU at tiny shapes),
+    "off" disables it everywhere.
+    """
+    import os
+    v = os.environ.get(env_var, "auto")
+    if v == "on":
+        return True
+    if v == "off":
+        return False
+    return jax.default_backend() != "cpu"
+
+
 def init_variables(model, key, sample_input, quantized: bool = False):
     """Initialise the full variable tree.
 

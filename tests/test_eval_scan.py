@@ -21,7 +21,7 @@ KEY = jax.random.PRNGKey(0)
 def _run(cfg, model, variables, loader, monkeypatch, scan: bool,
          seed: int = 0):
     if scan:
-        monkeypatch.delenv("QBN_EVAL_SCAN", raising=False)
+        monkeypatch.setenv("QBN_EVAL_SCAN", "on")
     else:
         monkeypatch.setenv("QBN_EVAL_SCAN", "off")
     return evaluate_with_loader(loader, model, variables, cfg, "float",
