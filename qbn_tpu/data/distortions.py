@@ -60,6 +60,47 @@ def brighten(images: np.ndarray, factor: float) -> np.ndarray:
     return np.clip(images * factor, 0.0, 1.0)
 
 
+def gather_spec(distortion, level: int, h: int, w: int):
+    """Uniform gather formulation of one distortion cell.
+
+    Returns (syi, sxi, valid, factor) such that
+
+        out = clip(images[:, syi, sxi, :] * factor, 0, 1) * valid[..., None]
+
+    reproduces ``apply_distortion`` BITWISE for [0, 1] images: rotation and
+    shift become pure index gathers with a zero mask (factor 1; the clip is
+    a no-op on [0, 1] values), brightness an identity gather with the scale
+    factor (valid all-ones). The device-resident sweep
+    (evaluation/mc.py:evaluate_distortion_sweep) uses this to generate
+    every distorted test set ON DEVICE from one upload of the clean images.
+    """
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    ones = np.ones((h, w), np.float32)
+    if distortion is None:
+        return yy.astype(np.int32), xx.astype(np.int32), ones, np.float32(1)
+    if distortion == "rotation":
+        theta = np.deg2rad(ROTATION_LEVELS[level])
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+        cos_t, sin_t = np.cos(theta), np.sin(theta)
+        sx = cos_t * (xx - cx) + sin_t * (yy - cy) + cx
+        sy = -sin_t * (xx - cx) + cos_t * (yy - cy) + cy
+        sxi = np.round(sx).astype(np.int64)
+        syi = np.round(sy).astype(np.int64)
+        valid = (sxi >= 0) & (sxi < w) & (syi >= 0) & (syi < h)
+        return (np.clip(syi, 0, h - 1).astype(np.int32),
+                np.clip(sxi, 0, w - 1).astype(np.int32),
+                valid.astype(np.float32), np.float32(1))
+    if distortion == "shift":
+        tx = int(round(SHIFT_LEVELS[level] * w))
+        return (yy.astype(np.int32),
+                np.clip(xx - tx, 0, w - 1).astype(np.int32),
+                (xx >= tx).astype(np.float32), np.float32(1))
+    if distortion == "brightness":
+        return (yy.astype(np.int32), xx.astype(np.int32), ones,
+                np.float32(BRIGHTNESS_LEVELS[level]))
+    raise NotImplementedError(f"Unknown distortion '{distortion}'")
+
+
 def apply_distortion(images: np.ndarray, distortion: str,
                      level: int) -> np.ndarray:
     """Apply one named distortion at a severity level in 0..4 to [0,1]

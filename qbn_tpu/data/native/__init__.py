@@ -28,8 +28,11 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-std=c++17", "-pthread", _SRC, "-o", _SO]
+    # -ffp-contract=off: no FMA contraction in the rotate coordinate map —
+    # its doubles must round exactly like numpy's separate mul/add ops so
+    # nearest-neighbour ties resolve identically (see qbn_rotate)
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+           "-fPIC", "-std=c++17", "-pthread", _SRC, "-o", _SO]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True

@@ -78,19 +78,23 @@ void qbn_cifar_augment(const float* in, float* out, int n, int h, int w,
 // fill (positive angle = counter-clockwise; torchvision affine semantics).
 void qbn_rotate(const float* in, float* out, int n, int h, int w, int c,
                 float degrees) {
-  const float th = degrees * 3.14159265358979323846f / 180.0f;
-  const float ct = std::cos(th), st = std::sin(th);
-  const float cy = (h - 1) * 0.5f, cx = (w - 1) * 0.5f;
+  // double intermediates + round-half-even to match the numpy reference
+  // path bitwise (np.deg2rad/cos/sin are float64 and np.round is
+  // half-even; at e.g. 45 deg the source coordinates land exactly on
+  // .5 ties and float32/half-away rounding picks different pixels)
+  const double th = (double)degrees * 3.14159265358979323846 / 180.0;
+  const double ct = std::cos(th), st = std::sin(th);
+  const double cy = (h - 1) * 0.5, cx = (w - 1) * 0.5;
   const int stride_img = h * w * c;
   parallel_for(n, [=](int i) {
     const float* src = in + (size_t)i * stride_img;
     float* dst = out + (size_t)i * stride_img;
     for (int y = 0; y < h; ++y) {
       for (int x = 0; x < w; ++x) {
-        const float fx = ct * (x - cx) + st * (y - cy) + cx;
-        const float fy = -st * (x - cx) + ct * (y - cy) + cy;
-        const int sx = (int)std::lround(fx);
-        const int sy = (int)std::lround(fy);
+        const double fx = ct * (x - cx) + st * (y - cy) + cx;
+        const double fy = -st * (x - cx) + ct * (y - cy) + cy;
+        const int sx = (int)std::nearbyint(fx);
+        const int sy = (int)std::nearbyint(fy);
         float* px = dst + ((size_t)y * w + x) * c;
         if (sx < 0 || sx >= w || sy < 0 || sy >= h) {
           std::memset(px, 0, sizeof(float) * c);

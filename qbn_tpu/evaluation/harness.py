@@ -25,7 +25,8 @@ from qbn_tpu.data import get_train_loaders, get_test_loader
 from qbn_tpu.data.datasets import regression_function, \
     regression_data_generator
 from qbn_tpu.data.distortions import DISTORTIONS, LEVELS
-from qbn_tpu.evaluation.mc import evaluate_with_loader, mc_predict
+from qbn_tpu.evaluation.mc import (evaluate_distortion_sweep,
+                                   evaluate_with_loader, mc_predict)
 from qbn_tpu.evaluation.plots import (
     plot_reliability, plot_confidence_histogram,
     plot_regression_uncertainty,
@@ -112,22 +113,34 @@ def evaluate_classification_uncertainty(model, variables, cfg: Config,
         plot_confidence_histogram(out, os.path.join(cfg.save,
                                                     "certainty_random.png"))
 
-    for distortion in DISTORTIONS:
-        for level in range(LEVELS):
-            loader = get_test_loader(cfg, distortion, level)
-            error, ece, entropy, nll, _, _, _ = evaluate_with_loader(
-                loader, model, variables, cfg, mode, ensemble=ensemble,
-                collect_outputs=False, salt=f"{distortion}{level}",
-                mesh=mesh)
+    sweep = evaluate_distortion_sweep(model, variables, cfg, mode,
+                                      ensemble=ensemble, mesh=mesh)
+    if sweep is not None:
+        # device-resident fast path: clean test set uploaded once,
+        # distortions generated on device (mc.evaluate_distortion_sweep)
+        for distortion, level, error, ece, entropy, nll in sweep:
             log.info("## %s level %d: error=%.4f ece=%.4f entropy=%.4f "
                      "nll=%.4f ##", distortion, level + 1, error, ece,
                      entropy, nll)
             _record_distortion(results, distortion, level, error, ece,
                                entropy, nll)
+    else:
+        for distortion in DISTORTIONS:
+            for level in range(LEVELS):
+                loader = get_test_loader(cfg, distortion, level)
+                error, ece, entropy, nll, _, _, _ = evaluate_with_loader(
+                    loader, model, variables, cfg, mode, ensemble=ensemble,
+                    collect_outputs=False, salt=f"{distortion}{level}",
+                    mesh=mesh)
+                log.info("## %s level %d: error=%.4f ece=%.4f entropy=%.4f "
+                         "nll=%.4f ##", distortion, level + 1, error, ece,
+                         entropy, nll)
+                _record_distortion(results, distortion, level, error, ece,
+                                   entropy, nll)
+                if cfg.debug:
+                    break
             if cfg.debug:
                 break
-        if cfg.debug:
-            break
     save_results(results, cfg.save)
     return results
 

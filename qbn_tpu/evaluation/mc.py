@@ -182,6 +182,7 @@ def aggregate(task: str, outs, samples: int):
 # keep the model/mesh referents alive so id() keys stay valid.
 _STEP_CACHE: dict = {}
 _SCAN_CACHE: dict = {}
+_SWEEP_CACHE: dict = {}
 
 
 def make_mc_eval(model, cfg: Config, mode: str, samples: Optional[int] = None,
@@ -246,6 +247,110 @@ def _scan_eval(step, k: int):
 
     _SCAN_CACHE[(id(step), k)] = (step, run)
     return run
+
+
+def _sweep_scan(step, k: int, norm_kind):
+    """jitted distort+normalize+scan-eval over k on-device clean batches.
+    ONE compiled program serves all 15 distortion cells: the gather
+    indices, zero mask and brightness factor are runtime arguments."""
+    hit = _SWEEP_CACHE.get((id(step), k, norm_kind))
+    if hit is not None:
+        return hit[-1]
+    from qbn_tpu.data.datasets import CIFAR_INV_STD, CIFAR_MEAN
+
+    @jax.jit
+    def run(variables, metric_state, xs, ys, syi, sxi, valid, factor,
+            base_key, key_base_idx):
+        xd = xs[:, :, syi, sxi, :]
+        xd = jnp.clip(xd * factor, 0.0, 1.0) * valid[None, None, :, :, None]
+        if norm_kind == "cifar":
+            xd = (xd - jnp.asarray(CIFAR_MEAN)) * jnp.asarray(CIFAR_INV_STD)
+
+        def body(ms, inp):
+            i, x, y = inp
+            kk = jax.random.fold_in(base_key, key_base_idx + i)
+            ms, _ = step(variables, ms, x, y, kk)
+            return ms, None
+
+        ms, _ = jax.lax.scan(body, metric_state,
+                             (jnp.arange(k, dtype=jnp.int32), xd, ys))
+        return ms
+
+    _SWEEP_CACHE[(id(step), k, norm_kind)] = (step, run)
+    return run
+
+
+def evaluate_distortion_sweep(model, variables, cfg: Config, mode: str,
+                              samples: Optional[int] = None,
+                              ensemble: bool = False, seed: int = 0,
+                              mesh=None):
+    """Device-resident 3x5 distortion sweep.
+
+    The loader path distorts the full test set on HOST and re-uploads it
+    for every cell (15 x ~123 MB of relay H2D for CIFAR, plus per-cell
+    numpy/native distortion work). This path uploads the CLEAN test set
+    once and generates every distorted cell ON DEVICE via the gather
+    formulation (data/distortions.gather_spec): one dispatch + one metric
+    fetch per cell, zero host image work. PRNG keys, batch partitioning
+    and arithmetic are identical to evaluate_with_loader on a
+    get_test_loader(cfg, distortion, level) loader (salt
+    f"{distortion}{level}"); the remainder batch runs on host through the
+    same numpy/native distortion the loader uses.
+
+    Returns [(distortion, level, error, ece, entropy, nll), ...] or None
+    when the fast path's preconditions fail (mesh run, debug mode,
+    non-classification task, CPU backend, tiny split) — callers fall back
+    to the per-cell loader path.
+    """
+    from qbn_tpu.utils import scan_enabled
+    if (mesh is not None or cfg.debug or cfg.task != "classification"
+            or cfg.dataset not in ("mnist", "cifar")
+            or not scan_enabled("QBN_EVAL_SCAN")):
+        return None
+    from qbn_tpu.data import datasets as D
+    from qbn_tpu.data.distortions import (DISTORTIONS, LEVELS,
+                                          apply_distortion, gather_spec)
+    x, y = D.load_images(cfg.dataset, cfg.data, train=False)
+    bsz = cfg.batch_size
+    k = len(x) // bsz
+    if k < 2:
+        return None
+    nb = (len(x) + bsz - 1) // bsz          # loader length (keeps remainder)
+    norm_kind = "cifar" if cfg.dataset == "cifar" else None
+    samples = cfg.samples if samples is None else samples
+    plan = None
+    if mode == "int" and not ensemble and samples > 1:
+        plan = presample_plan(variables)
+    step = make_mc_eval(model, cfg, mode, samples, ensemble, plan=plan)
+    xs = jnp.asarray(x[:k * bsz].reshape((k, bsz) + x.shape[1:]))
+    ys = jnp.asarray(y[:k * bsz].reshape((k, bsz) + y.shape[1:]))
+    run = _sweep_scan(step, k, norm_kind)
+    results = []
+    for distortion in DISTORTIONS:
+        for level in range(LEVELS):
+            salt = f"{distortion}{level}"
+            base_key = jax.random.fold_in(
+                jax.random.PRNGKey(cfg.seed + 1234),
+                zlib.crc32(salt.encode()) & 0x7FFFFFFF)
+            syi, sxi, valid, factor = gather_spec(
+                distortion, level, x.shape[1], x.shape[2])
+            ms = M.cls_metrics_init()
+            ms = run(variables, ms, xs, ys, jnp.asarray(syi),
+                     jnp.asarray(sxi), jnp.asarray(valid),
+                     jnp.asarray(factor), base_key,
+                     jnp.asarray(seed * 1000003, jnp.int32))
+            for i in range(k, nb):
+                xb = apply_distortion(x[i * bsz:(i + 1) * bsz],
+                                      distortion, level)
+                if norm_kind is not None:
+                    xb = D.normalize(xb, norm_kind)
+                key = jax.random.fold_in(base_key, seed * 1000003 + i)
+                ms, _ = step(variables, ms, jnp.asarray(xb),
+                             jnp.asarray(y[i * bsz:(i + 1) * bsz]), key)
+            m = {k2: float(v) for k2, v in M.cls_metrics_compute(ms).items()}
+            results.append((distortion, level, m["error"], m["ece"],
+                            m["entropy"], m["nll"]))
+    return results
 
 
 def evaluate_with_loader(loader, model, variables, cfg: Config, mode: str,

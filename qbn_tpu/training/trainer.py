@@ -246,11 +246,13 @@ class Trainer:
     # one lax.scan: one dispatch, one fetch, zero per-step H2D.
 
     def _loader_dev(self, loader):
+        # the cached loader reference pins the object so the id() key
+        # cannot be reused by a different loader after garbage collection
         key = id(loader)
         if key not in self._dev_data:
-            self._dev_data[key] = (jnp.asarray(loader.x),
+            self._dev_data[key] = (loader, jnp.asarray(loader.x),
                                    jnp.asarray(loader.y))
-        return self._dev_data[key]
+        return self._dev_data[key][1:]
 
     def _get_train_scan(self, loader):
         if self._train_scan is not None:
@@ -285,7 +287,7 @@ class Trainer:
     def _get_eval_scan(self, loader, k: int):
         ck = (id(loader), k)
         if ck in self._eval_scans:
-            return self._eval_scans[ck]
+            return self._eval_scans[ck][1]
         bsz = loader.batch_size
         norm = getattr(loader, "normalize_kind", None) \
             if loader.normalize is not None else None
@@ -309,7 +311,7 @@ class Trainer:
                 (jnp.arange(k, dtype=jnp.int32), xe, ye))
             return st, ms
 
-        self._eval_scans[ck] = run
+        self._eval_scans[ck] = (loader, run)   # pin loader (id-key reuse)
         return run
 
     def init_state(self, variables, rng) -> TrainState:

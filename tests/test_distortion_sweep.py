@@ -1,0 +1,91 @@
+"""Device-resident distortion sweep (evaluation/mc.py).
+
+Two contracts:
+
+- gather_spec's uniform formulation (gather + zero mask + factor + clip)
+  must reproduce apply_distortion BITWISE on [0,1] images for all 15
+  cells, both image geometries (32x32x3, 28x28x1) — host numpy proof of
+  the formula the device path applies.
+- evaluate_distortion_sweep must produce the same 15-cell metric table as
+  the per-cell loader path (evaluate_with_loader on
+  get_test_loader(cfg, distortion, level)) on identical variables: exact
+  on error (a count), tight tolerance elsewhere (the scanned eval body
+  is a different XLA compilation of the same arithmetic).
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from qbn_tpu.config import Config
+from qbn_tpu.data import datasets as D
+from qbn_tpu.data.distortions import (DISTORTIONS, LEVELS, apply_distortion,
+                                      gather_spec)
+from qbn_tpu.data.loaders import ArrayLoader
+from qbn_tpu.evaluation.mc import (evaluate_distortion_sweep,
+                                   evaluate_with_loader)
+from qbn_tpu.models.factory import build_model
+from qbn_tpu.utils import init_variables
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.mark.parametrize("shape", [(32, 32, 3), (28, 28, 1)])
+@pytest.mark.parametrize("distortion", [None] + DISTORTIONS)
+def test_gather_spec_matches_apply_distortion(shape, distortion):
+    rng = np.random.RandomState(0)
+    x = rng.rand(7, *shape).astype(np.float32)
+    h, w = shape[:2]
+    for level in range(LEVELS if distortion else 1):
+        syi, sxi, valid, factor = gather_spec(distortion, level, h, w)
+        out = np.clip(x[:, syi, sxi, :] * factor, 0.0, 1.0) \
+            * valid[None, :, :, None]
+        ref = apply_distortion(x, distortion, level)
+        np.testing.assert_array_equal(out, ref, err_msg=f"{distortion}"
+                                      f" level {level}")
+
+
+def _fake_images(name, data_dir, train):
+    rng = np.random.RandomState(5)
+    x = rng.rand(52, 16, 16, 3).astype(np.float32)   # 3 full + 4 remainder
+    y = rng.randint(0, 10, 52).astype(np.int64)
+    return x, y
+
+
+def test_sweep_matches_loader_path(monkeypatch):
+    cfg = Config(model="conv_lenet", dataset="cifar", output_size=10,
+                 input_size=(16, 16, 3), batch_size=16, samples=3, seed=2)
+    model = build_model(cfg)
+    variables = init_variables(model, KEY, np.zeros((2, 16, 16, 3),
+                                                    np.float32))
+
+    monkeypatch.setattr(D, "load_images", _fake_images)
+
+    monkeypatch.setenv("QBN_EVAL_SCAN", "on")
+    sweep = evaluate_distortion_sweep(model, variables, cfg, "float")
+    assert sweep is not None and len(sweep) == 3 * LEVELS
+
+    monkeypatch.setenv("QBN_EVAL_SCAN", "off")
+    x, y = _fake_images("cifar", ".", False)
+    norm = lambda a: D.normalize(a, "cifar")             # noqa: E731
+    for distortion, level, error, ece, entropy, nll in sweep:
+        loader = ArrayLoader(apply_distortion(x, distortion, level), y,
+                             cfg.batch_size, shuffle=False, normalize=norm)
+        e2, ece2, ent2, nll2, _, _, _ = evaluate_with_loader(
+            loader, model, variables, cfg, "float", collect_outputs=False,
+            salt=f"{distortion}{level}")
+        assert error == e2, (distortion, level)
+        for a, b in ((ece, ece2), (entropy, ent2), (nll, nll2)):
+            assert np.isclose(a, b, rtol=1e-5, atol=1e-6), (distortion,
+                                                            level, a, b)
+
+
+def test_sweep_preconditions(monkeypatch):
+    monkeypatch.setenv("QBN_EVAL_SCAN", "on")
+    cfg = Config(model="conv_lenet", dataset="cifar", output_size=10,
+                 input_size=(16, 16, 3), batch_size=16, samples=1, seed=2,
+                 debug=True)
+    assert evaluate_distortion_sweep(None, None, cfg, "float") is None
+    monkeypatch.setenv("QBN_EVAL_SCAN", "off")
+    cfg = cfg.replace(debug=False)
+    assert evaluate_distortion_sweep(None, None, cfg, "float") is None

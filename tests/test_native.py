@@ -11,12 +11,16 @@ pytestmark = pytest.mark.skipif(not native.available(),
                                 reason="native pipeline unavailable")
 
 
-def test_native_rotate_matches_numpy():
-    x = np.random.RandomState(0).rand(4, 28, 28, 1).astype(np.float32)
-    a = native.rotate(x, 30.0)
-    b = np_rotate(x, 30.0)
-    # rounding-mode ties (lround vs banker's) may differ on a tiny fraction
-    assert (a != b).mean() < 0.01
+@pytest.mark.parametrize("shape", [(28, 28, 1), (32, 32, 3), (16, 16, 3)])
+@pytest.mark.parametrize("deg", [15.0, 30.0, 45.0, 60.0, 75.0])
+def test_native_rotate_matches_numpy(shape, deg):
+    """Bitwise: qbn_rotate uses double intermediates + round-half-even
+    (-ffp-contract=off) so nearest-neighbour ties — e.g. 45 deg on a
+    16x16 grid — resolve exactly like np.round."""
+    x = np.random.RandomState(0).rand(4, *shape).astype(np.float32)
+    a = native.rotate(x, deg)
+    b = np_rotate(x, deg)
+    np.testing.assert_array_equal(a, b)
 
 
 def test_native_shift_matches_numpy():
