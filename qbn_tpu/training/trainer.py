@@ -170,6 +170,14 @@ def _device_normalize(x, kind):
     return x
 
 
+def _ckpt_flush_every() -> int:
+    """Epoch interval for flushing the deferred save-last checkpoint
+    (crash insurance); QBN_CKPT_FLUSH=1 restores the per-epoch reference
+    behaviour."""
+    import os
+    return max(1, int(os.environ.get("QBN_CKPT_FLUSH", "25")))
+
+
 def _scan_eligible(cfg, mesh, loader, need_full: bool) -> bool:
     """Device-resident epoch scan preconditions: single device, no debug
     single-batch mode, an ArrayLoader whose augment/normalize recipe we
@@ -420,6 +428,7 @@ class Trainer:
         (state, best_error)."""
         cfg = self.cfg
         best_error = float("inf")
+        dirty = False
         for epoch in range(cfg.epochs):
             self.epoch = epoch
             state, train_m = self.train_epoch(state)
@@ -443,9 +452,30 @@ class Trainer:
                 if (cfg.optimizer == "sghmc"
                         and epoch >= cfg.burnin_epochs and epoch % 2 == 0
                         and epoch >= cfg.epochs - cfg.samples * 2):
-                    # posterior snapshot (reference: trainer.py:75-79)
+                    # posterior snapshot (reference: trainer.py:75-79) —
+                    # stamped files always hit disk (each is a distinct
+                    # posterior member)
                     info = f"{special_info}_{epoch}"
-                save_variables(self.variables(state),
-                               checkpoint_path(cfg.save, info))
+                    save_variables(self.variables(state),
+                                   checkpoint_path(cfg.save, info))
+                elif cfg.save_last:
+                    # save-last overwrites one file per epoch; through the
+                    # relay each save is a full variable-tree fetch (RTT +
+                    # transfer + staging-buffer leak), so defer to a
+                    # periodic flush + one final save — the final artifact
+                    # is identical (the last state)
+                    dirty = True
+                    if (epoch + 1) % _ckpt_flush_every() == 0:
+                        save_variables(self.variables(state),
+                                       checkpoint_path(cfg.save,
+                                                       special_info))
+                        dirty = False
+                else:
+                    # best-only policy: save exactly on improvement
+                    save_variables(self.variables(state),
+                                   checkpoint_path(cfg.save, info))
                 best_error = min(best_error, val_error)
+        if dirty:
+            save_variables(self.variables(state),
+                           checkpoint_path(cfg.save, special_info))
         return state, best_error

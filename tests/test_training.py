@@ -219,6 +219,35 @@ def test_train_loop_checkpoints_and_snapshots(tmp_path):
     assert set(restored.keys()) == set(trainer.variables(state).keys())
 
 
+def test_deferred_save_last_matches_per_epoch(tmp_path, monkeypatch):
+    """save_last checkpointing is deferred (periodic flush + final save);
+    the final file must be byte-identical to the per-epoch reference
+    behaviour (QBN_CKPT_FLUSH=1), and a plain checkpoint must exist even
+    when the flush interval exceeds the epoch count."""
+    files = {}
+    for flush in ("1", "1000"):
+        d = tmp_path / f"flush{flush}"
+        d.mkdir()
+        monkeypatch.setenv("QBN_CKPT_FLUSH", flush)
+        cfg = Config(task="regression", model="linear",
+                     dataset="regression_synthetic", learning_rate=1e-2,
+                     epochs=3, batch_size=100, gamma=0.0, optimizer="adam",
+                     valid_portion=0.2, save=str(d), seed=1,
+                     lr_schedule="constant")
+        model = build_model(cfg)
+        train_loader, valid_loader = get_train_loaders(cfg)
+        tx, _ = build_optimizer(cfg, len(train_loader))
+        trainer = Trainer(model, cfg, tx, mode="float",
+                          train_loader=train_loader,
+                          valid_loader=valid_loader)
+        x0, _ = next(iter(train_loader))
+        variables = init_variables(model, KEY, jnp.asarray(x0))
+        state = trainer.init_state(variables, jax.random.PRNGKey(cfg.seed))
+        trainer.train_loop(state)
+        files[flush] = open(checkpoint_path(str(d)), "rb").read()
+    assert files["1"] == files["1000"]
+
+
 def test_checkpoint_partial_restore(tmp_path):
     """Float checkpoint loads into a quantised model (key intersection)."""
     cfg = Config(model="linear", task="regression",
