@@ -347,7 +347,8 @@ def evaluate_distortion_sweep(model, variables, cfg: Config, mode: str,
                 key = jax.random.fold_in(base_key, seed * 1000003 + i)
                 ms, _ = step(variables, ms, jnp.asarray(xb),
                              jnp.asarray(y[i * bsz:(i + 1) * bsz]), key)
-            m = {k2: float(v) for k2, v in M.cls_metrics_compute(ms).items()}
+            m = {k2: float(v) for k2, v in
+                 jax.device_get(M.cls_metrics_compute(ms)).items()}
             results.append((distortion, level, m["error"], m["ece"],
                             m["entropy"], m["nll"]))
     return results
@@ -430,12 +431,12 @@ def evaluate_with_loader(loader, model, variables, cfg: Config, mode: str,
     sps = n_examples * samples / dt
 
     if cfg.task == "classification":
-        m = {k: float(v) for k, v in M.cls_metrics_compute(metric_state
-                                                           ).items()}
+        m = {k: float(v) for k, v in jax.device_get(
+            M.cls_metrics_compute(metric_state)).items()}
         error, ece, entropy = m["error"], m["ece"], m["entropy"]
     else:
-        m = {k: float(v) for k, v in M.reg_metrics_compute(metric_state
-                                                           ).items()}
+        m = {k: float(v) for k, v in jax.device_get(
+            M.reg_metrics_compute(metric_state)).items()}
         error, ece, entropy = m["rmse"], 0.0, 0.0
     nll = m["nll"]
 

@@ -350,9 +350,11 @@ class Trainer:
             state, metric_state, logs = run(
                 state, metric_state, xd, yd,
                 jnp.asarray(idx[:k * bsz]), *map(jnp.asarray, aug))
-            out = {k2: float(v) for k2, v in
-                   _metrics_compute(self.cfg.task, metric_state).items()}
-            out.update({k2: float(v) for k2, v in logs.items()})
+            # one batched device->host transfer for all scalars (each
+            # separate float() pays a full relay RTT)
+            fetched = jax.device_get(
+                (_metrics_compute(self.cfg.task, metric_state), logs))
+            out = {k2: float(v) for d in fetched for k2, v in d.items()}
             self.train_time += time.time() - t0
             return state, out
         for i, (x, y) in enumerate(self.train_loader):
@@ -367,9 +369,9 @@ class Trainer:
                          len(self.train_loader), float(logs["obj"]))
             if self.cfg.debug:
                 break
-        out = {k: float(v) for k, v in
-               _metrics_compute(self.cfg.task, metric_state).items()}
-        out.update({k: float(v) for k, v in logs.items()})
+        fetched = jax.device_get(
+            (_metrics_compute(self.cfg.task, metric_state), logs))
+        out = {k: float(v) for d in fetched for k, v in d.items()}
         self.train_time += time.time() - t0
         return state, out
 
@@ -413,8 +415,8 @@ class Trainer:
             state, metric_state = step(state, metric_state, x, y, key)
             if self.cfg.debug:
                 break
-        out = {k: float(v) for k, v in
-               _metrics_compute(self.cfg.task, metric_state).items()}
+        out = {k: float(v) for k, v in jax.device_get(
+            _metrics_compute(self.cfg.task, metric_state)).items()}
         self.val_time += time.time() - t0
         return state, out
 
