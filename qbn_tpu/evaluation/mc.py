@@ -249,34 +249,51 @@ def _scan_eval(step, k: int):
     return run
 
 
-def _sweep_scan(step, k: int, norm_kind):
-    """jitted distort+normalize+scan-eval over k on-device clean batches.
-    ONE compiled program serves all 15 distortion cells: the gather
-    indices, zero mask and brightness factor are runtime arguments."""
-    hit = _SWEEP_CACHE.get((id(step), k, norm_kind))
+def _sweep_scan(step, k: int, n_rem: int, norm_kind):
+    """jitted program for the ENTIRE distortion sweep: an outer lax.scan
+    over the stacked cell specs (gather indices, zero mask, brightness
+    factor, per-cell PRNG key), an inner scan over the k on-device clean
+    batches, the remainder batch distorted in-program too. The whole
+    3x5 sweep is ONE dispatch and ONE metric fetch."""
+    hit = _SWEEP_CACHE.get((id(step), k, n_rem, norm_kind))
     if hit is not None:
         return hit[-1]
     from qbn_tpu.data.datasets import CIFAR_INV_STD, CIFAR_MEAN
 
-    @jax.jit
-    def run(variables, metric_state, xs, ys, syi, sxi, valid, factor,
-            base_key, key_base_idx):
-        xd = xs[:, :, syi, sxi, :]
-        xd = jnp.clip(xd * factor, 0.0, 1.0) * valid[None, None, :, :, None]
+    def norm(z):
         if norm_kind == "cifar":
-            xd = (xd - jnp.asarray(CIFAR_MEAN)) * jnp.asarray(CIFAR_INV_STD)
+            return (z - jnp.asarray(CIFAR_MEAN)) * jnp.asarray(CIFAR_INV_STD)
+        return z
 
-        def body(ms, inp):
-            i, x, y = inp
-            kk = jax.random.fold_in(base_key, key_base_idx + i)
-            ms, _ = step(variables, ms, x, y, kk)
-            return ms, None
+    @jax.jit
+    def run(variables, xs, ys, x_rem, y_rem, syis, sxis, valids, factors,
+            base_keys, key_base_idx):
+        def cell(carry, spec):
+            syi, sxi, valid, factor, base_key = spec
+            xd = jnp.clip(xs[:, :, syi, sxi, :] * factor, 0.0, 1.0) \
+                * valid[None, None, :, :, None]
+            xd = norm(xd)
 
-        ms, _ = jax.lax.scan(body, metric_state,
-                             (jnp.arange(k, dtype=jnp.int32), xd, ys))
-        return ms
+            def body(ms, inp):
+                i, x, y = inp
+                kk = jax.random.fold_in(base_key, key_base_idx + i)
+                ms, _ = step(variables, ms, x, y, kk)
+                return ms, None
 
-    _SWEEP_CACHE[(id(step), k, norm_kind)] = (step, run)
+            ms, _ = jax.lax.scan(body, M.cls_metrics_init(),
+                                 (jnp.arange(k, dtype=jnp.int32), xd, ys))
+            if n_rem:
+                xr = jnp.clip(x_rem[:, syi, sxi, :] * factor, 0.0, 1.0) \
+                    * valid[None, :, :, None]
+                kk = jax.random.fold_in(base_key, key_base_idx + k)
+                ms, _ = step(variables, ms, norm(xr), y_rem, kk)
+            return carry, M.cls_metrics_compute(ms)
+
+        _, per_cell = jax.lax.scan(
+            cell, None, (syis, sxis, valids, factors, base_keys))
+        return per_cell
+
+    _SWEEP_CACHE[(id(step), k, n_rem, norm_kind)] = (step, run)
     return run
 
 
@@ -290,12 +307,12 @@ def evaluate_distortion_sweep(model, variables, cfg: Config, mode: str,
     for every cell (15 x ~123 MB of relay H2D for CIFAR, plus per-cell
     numpy/native distortion work). This path uploads the CLEAN test set
     once and generates every distorted cell ON DEVICE via the gather
-    formulation (data/distortions.gather_spec): one dispatch + one metric
-    fetch per cell, zero host image work. PRNG keys, batch partitioning
-    and arithmetic are identical to evaluate_with_loader on a
-    get_test_loader(cfg, distortion, level) loader (salt
-    f"{distortion}{level}"); the remainder batch runs on host through the
-    same numpy/native distortion the loader uses.
+    formulation (data/distortions.gather_spec); the whole 3x5 sweep —
+    including the remainder batch — runs as ONE jitted program: one
+    dispatch and one metric fetch total, zero host image work. PRNG
+    keys, batch partitioning and arithmetic are identical to
+    evaluate_with_loader on a get_test_loader(cfg, distortion, level)
+    loader (salt f"{distortion}{level}").
 
     Returns [(distortion, level, error, ece, entropy, nll), ...] or None
     when the fast path's preconditions fail (mesh run, debug mode,
@@ -308,8 +325,7 @@ def evaluate_distortion_sweep(model, variables, cfg: Config, mode: str,
             or not scan_enabled("QBN_EVAL_SCAN")):
         return None
     from qbn_tpu.data import datasets as D
-    from qbn_tpu.data.distortions import (DISTORTIONS, LEVELS,
-                                          apply_distortion, gather_spec)
+    from qbn_tpu.data.distortions import DISTORTIONS, LEVELS, gather_spec
     x, y = D.load_images(cfg.dataset, cfg.data, train=False)
     bsz = cfg.batch_size
     k = len(x) // bsz
@@ -321,37 +337,28 @@ def evaluate_distortion_sweep(model, variables, cfg: Config, mode: str,
     plan = None
     if mode == "int" and not ensemble and samples > 1:
         plan = presample_plan(variables)
+    if nb - k > 1:
+        return None                 # at most one remainder batch expected
     step = make_mc_eval(model, cfg, mode, samples, ensemble, plan=plan)
     xs = jnp.asarray(x[:k * bsz].reshape((k, bsz) + x.shape[1:]))
     ys = jnp.asarray(y[:k * bsz].reshape((k, bsz) + y.shape[1:]))
-    run = _sweep_scan(step, k, norm_kind)
-    results = []
-    for distortion in DISTORTIONS:
-        for level in range(LEVELS):
-            salt = f"{distortion}{level}"
-            base_key = jax.random.fold_in(
-                jax.random.PRNGKey(cfg.seed + 1234),
-                zlib.crc32(salt.encode()) & 0x7FFFFFFF)
-            syi, sxi, valid, factor = gather_spec(
-                distortion, level, x.shape[1], x.shape[2])
-            ms = M.cls_metrics_init()
-            ms = run(variables, ms, xs, ys, jnp.asarray(syi),
-                     jnp.asarray(sxi), jnp.asarray(valid),
-                     jnp.asarray(factor), base_key,
-                     jnp.asarray(seed * 1000003, jnp.int32))
-            for i in range(k, nb):
-                xb = apply_distortion(x[i * bsz:(i + 1) * bsz],
-                                      distortion, level)
-                if norm_kind is not None:
-                    xb = D.normalize(xb, norm_kind)
-                key = jax.random.fold_in(base_key, seed * 1000003 + i)
-                ms, _ = step(variables, ms, jnp.asarray(xb),
-                             jnp.asarray(y[i * bsz:(i + 1) * bsz]), key)
-            m = {k2: float(v) for k2, v in
-                 jax.device_get(M.cls_metrics_compute(ms)).items()}
-            results.append((distortion, level, m["error"], m["ece"],
-                            m["entropy"], m["nll"]))
-    return results
+    n_rem = len(x) - k * bsz
+    x_rem = jnp.asarray(x[k * bsz:])
+    y_rem = jnp.asarray(y[k * bsz:])
+    cells = [(d, lv) for d in DISTORTIONS for lv in range(LEVELS)]
+    specs = [gather_spec(d, lv, x.shape[1], x.shape[2]) for d, lv in cells]
+    base_keys = jnp.stack([
+        jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1234),
+                           zlib.crc32(f"{d}{lv}".encode()) & 0x7FFFFFFF)
+        for d, lv in cells])
+    run = _sweep_scan(step, k, n_rem, norm_kind)
+    per_cell = jax.device_get(run(
+        variables, xs, ys, x_rem, y_rem,
+        *(jnp.asarray(np.stack([s[i] for s in specs])) for i in range(4)),
+        base_keys, jnp.asarray(seed * 1000003, jnp.int32)))
+    return [(d, lv, float(per_cell["error"][c]), float(per_cell["ece"][c]),
+             float(per_cell["entropy"][c]), float(per_cell["nll"][c]))
+            for c, (d, lv) in enumerate(cells)]
 
 
 def evaluate_with_loader(loader, model, variables, cfg: Config, mode: str,
