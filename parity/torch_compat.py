@@ -108,7 +108,12 @@ def _pil_affine(img, angle, translations, scale, shear, **kwargs):
     from PIL import Image
     tx, ty = translations
     if angle:
-        img = img.rotate(angle, resample=Image.NEAREST, fillcolor=0)
+        # torchvision 0.8.2's F.affine rotates CLOCKWISE for a positive
+        # angle (docs: "clockwise direction"); PIL.rotate is
+        # counter-clockwise, hence the negation. Verified bitwise against
+        # the reconstructed 0.8.2 inverse-affine matrix in
+        # tests/test_distortion_sweep.py::test_rotate_matches_torchvision.
+        img = img.rotate(-angle, resample=Image.NEAREST, fillcolor=0)
     if tx or ty:
         img = img.transform(img.size, Image.AFFINE,
                             (1, 0, -tx, 0, 1, -ty),

@@ -45,6 +45,32 @@ def test_gather_spec_matches_apply_distortion(shape, distortion):
                                       f" level {level}")
 
 
+@pytest.mark.parametrize("hw", [28, 32])
+def test_rotate_matches_torchvision(hw):
+    """Our rotate == torchvision 0.8.2 F.affine (the reference's pinned
+    rotation op, src/data.py:205 + requirements.txt) BITWISE, ties
+    included: positive angle = clockwise, center (w/2, h/2), nearest
+    resample, zero fill. Reconstructed via torchvision's inverse-affine
+    matrix through PIL.Image.transform."""
+    Image = pytest.importorskip("PIL.Image")
+    import math
+    from qbn_tpu.data.distortions import ROTATION_LEVELS, rotate
+
+    img = (np.arange(hw * hw, dtype=np.float32).reshape(hw, hw) + 10.0)
+    pil = Image.fromarray(img)
+    for deg in ROTATION_LEVELS:
+        rot = math.radians(deg)
+        cx = cy = hw * 0.5
+        m = [math.cos(rot), math.sin(rot), 0.0,
+             -math.sin(rot), math.cos(rot), 0.0]
+        m[2] += m[0] * (-cx) + m[1] * (-cy) + cx
+        m[5] += m[3] * (-cx) + m[4] * (-cy) + cy
+        tv = np.asarray(pil.transform((hw, hw), Image.AFFINE, m,
+                                      resample=Image.NEAREST, fillcolor=0))
+        ours = rotate(img[None, :, :, None], deg)[0, :, :, 0]
+        np.testing.assert_array_equal(ours, tv, err_msg=f"deg {deg}")
+
+
 def _fake_images(name, data_dir, train):
     rng = np.random.RandomState(5)
     x = rng.rand(52, 16, 16, 3).astype(np.float32)   # 3 full + 4 remainder
