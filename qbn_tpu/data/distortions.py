@@ -55,24 +55,41 @@ def horizontal_shift(images: np.ndarray, distance: float) -> np.ndarray:
 
 
 def brighten(images: np.ndarray, factor: float) -> np.ndarray:
-    """Multiply by a fixed brightness factor, clamped to [0, 1] (PIL
-    ImageEnhance.Brightness on [0,1] pixels)."""
-    return np.clip(images * factor, 0.0, 1.0)
+    """PIL ImageEnhance.Brightness semantics on uint8-derived [0, 1]
+    images. The reference enhances the PIL uint8 image BEFORE ToTensor
+    (src/data.py:208), and PIL's Blend.c computes
+    ``CLIP8((int)(float(v) * factor))`` — float32 multiply, TRUNCATION —
+    so the faithful op on our v/255 floats is
+    ``clip(trunc(float32(round(x*255)) * factor), 0, 255) / 255``
+    (verified bitwise vs PIL, tests/test_distortion_sweep.py)."""
+    v = np.rint(images * np.float32(255)).astype(np.float32)
+    out = np.clip(np.trunc(v * np.float32(factor)), 0.0, 255.0)
+    return out / np.float32(255)
+
+
+def apply_spec(images: np.ndarray, spec) -> np.ndarray:
+    """Numpy application of a gather_spec — the single formula the
+    device-resident sweep mirrors in jnp (evaluation/mc.py:_sweep_scan).
+    Reproduces apply_distortion bitwise on uint8-derived [0,1] images."""
+    syi, sxi, valid, factor = spec
+    g = images[:, syi, sxi, :]
+    if factor != 1.0:
+        g = brighten(g, factor)
+    return g * valid[None, :, :, None]
 
 
 def gather_spec(distortion, level: int, h: int, w: int):
     """Uniform gather formulation of one distortion cell.
 
-    Returns (syi, sxi, valid, factor) such that
-
-        out = clip(images[:, syi, sxi, :] * factor, 0, 1) * valid[..., None]
-
-    reproduces ``apply_distortion`` BITWISE for [0, 1] images: rotation and
-    shift become pure index gathers with a zero mask (factor 1; the clip is
-    a no-op on [0, 1] values), brightness an identity gather with the scale
-    factor (valid all-ones). The device-resident sweep
-    (evaluation/mc.py:evaluate_distortion_sweep) uses this to generate
-    every distorted test set ON DEVICE from one upload of the clean images.
+    Returns (syi, sxi, valid, factor) applied by ``apply_spec``:
+    gather by (syi, sxi), the PIL-faithful uint8 brighten when
+    factor != 1, zero out invalid pixels. Reproduces ``apply_distortion``
+    BITWISE for uint8-derived [0, 1] images: rotation and shift are pure
+    index gathers with a zero mask (factor 1), brightness an identity
+    gather with the scale factor (valid all-ones). The device-resident
+    sweep (evaluation/mc.py:evaluate_distortion_sweep) uses this to
+    generate every distorted test set ON DEVICE from one upload of the
+    clean images.
     """
     yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     ones = np.ones((h, w), np.float32)

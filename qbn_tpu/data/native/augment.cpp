@@ -124,6 +124,10 @@ void qbn_hshift(const float* in, float* out, int n, int h, int w, int c,
 }
 
 // Brightness: multiply by factor, clamp to [0, 1].
+// PIL ImageEnhance.Brightness semantics on uint8-derived [0,1] floats:
+// CLIP8((int)(float(v) * factor)) — float32 multiply then TRUNCATION —
+// applied to v = round(x * 255), result rescaled to [0,1]. Matches the
+// numpy brighten (data/distortions.py) bit for bit.
 void qbn_brighten(const float* in, float* out, int n, int h, int w, int c,
                   float factor) {
   const size_t total = (size_t)n * h * w * c;
@@ -132,8 +136,10 @@ void qbn_brighten(const float* in, float* out, int n, int h, int w, int c,
     const size_t lo = total * k / chunks;
     const size_t hi = total * (k + 1) / chunks;
     for (size_t j = lo; j < hi; ++j) {
-      float v = in[j] * factor;
-      out[j] = v < 0.0f ? 0.0f : (v > 1.0f ? 1.0f : v);
+      float v = std::nearbyintf(in[j] * 255.0f) * factor;
+      v = std::truncf(v);
+      v = v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v);
+      out[j] = v / 255.0f;
     }
   });
 }

@@ -265,14 +265,22 @@ def _sweep_scan(step, k: int, n_rem: int, norm_kind):
             return (z - jnp.asarray(CIFAR_MEAN)) * jnp.asarray(CIFAR_INV_STD)
         return z
 
+    def distort(z, syi, sxi, valid, factor):
+        # jnp mirror of data/distortions.apply_spec: gather, PIL-faithful
+        # uint8 brighten when factor != 1 (trunc of float32(v)*factor),
+        # zero mask. Bitwise equal to the host path on v/255 images.
+        g = z[..., syi, sxi, :]
+        bright = jnp.clip(jnp.trunc(jnp.rint(g * 255.0) * factor),
+                          0.0, 255.0) / 255.0
+        vb = valid[(None,) * (z.ndim - 3) + (Ellipsis, None)]
+        return jnp.where(factor == 1.0, g, bright) * vb
+
     @jax.jit
     def run(variables, xs, ys, x_rem, y_rem, syis, sxis, valids, factors,
             base_keys, key_base_idx):
         def cell(carry, spec):
             syi, sxi, valid, factor, base_key = spec
-            xd = jnp.clip(xs[:, :, syi, sxi, :] * factor, 0.0, 1.0) \
-                * valid[None, None, :, :, None]
-            xd = norm(xd)
+            xd = norm(distort(xs, syi, sxi, valid, factor))
 
             def body(ms, inp):
                 i, x, y = inp
@@ -283,8 +291,7 @@ def _sweep_scan(step, k: int, n_rem: int, norm_kind):
             ms, _ = jax.lax.scan(body, M.cls_metrics_init(),
                                  (jnp.arange(k, dtype=jnp.int32), xd, ys))
             if n_rem:
-                xr = jnp.clip(x_rem[:, syi, sxi, :] * factor, 0.0, 1.0) \
-                    * valid[None, :, :, None]
+                xr = distort(x_rem, syi, sxi, valid, factor)
                 kk = jax.random.fold_in(base_key, key_base_idx + k)
                 ms, _ = step(variables, ms, norm(xr), y_rem, kk)
             return carry, M.cls_metrics_compute(ms)

@@ -20,7 +20,7 @@ import pytest
 from qbn_tpu.config import Config
 from qbn_tpu.data import datasets as D
 from qbn_tpu.data.distortions import (DISTORTIONS, LEVELS, apply_distortion,
-                                      gather_spec)
+                                      apply_spec, gather_spec)
 from qbn_tpu.data.loaders import ArrayLoader
 from qbn_tpu.evaluation.mc import (evaluate_distortion_sweep,
                                    evaluate_with_loader)
@@ -37,9 +37,7 @@ def test_gather_spec_matches_apply_distortion(shape, distortion):
     x = rng.rand(7, *shape).astype(np.float32)
     h, w = shape[:2]
     for level in range(LEVELS if distortion else 1):
-        syi, sxi, valid, factor = gather_spec(distortion, level, h, w)
-        out = np.clip(x[:, syi, sxi, :] * factor, 0.0, 1.0) \
-            * valid[None, :, :, None]
+        out = apply_spec(x, gather_spec(distortion, level, h, w))
         ref = apply_distortion(x, distortion, level)
         np.testing.assert_array_equal(out, ref, err_msg=f"{distortion}"
                                       f" level {level}")
@@ -69,6 +67,23 @@ def test_rotate_matches_torchvision(hw):
                                       resample=Image.NEAREST, fillcolor=0))
         ours = rotate(img[None, :, :, None], deg)[0, :, :, 0]
         np.testing.assert_array_equal(ours, tv, err_msg=f"deg {deg}")
+
+
+def test_brighten_matches_pil_imageenhance():
+    """brighten == PIL ImageEnhance.Brightness (the reference's
+    ColorJitter path, src/data.py:208) BITWISE on uint8-derived images:
+    float32(v) * factor then TRUNCATION, per PIL's Blend.c."""
+    Image = pytest.importorskip("PIL.Image")
+    from PIL import ImageEnhance
+    from qbn_tpu.data.distortions import BRIGHTNESS_LEVELS, brighten
+
+    v = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    img = Image.fromarray(v, mode="L")
+    x = (v.astype(np.float32) / np.float32(255))[None, :, :, None]
+    for f in BRIGHTNESS_LEVELS:
+        ref = np.asarray(ImageEnhance.Brightness(img).enhance(f))
+        out = np.rint(brighten(x, f)[0, :, :, 0] * 255).astype(np.uint8)
+        np.testing.assert_array_equal(out, ref, err_msg=f"factor {f}")
 
 
 def _fake_images(name, data_dir, train):

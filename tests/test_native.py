@@ -30,11 +30,12 @@ def test_native_shift_matches_numpy():
     np.testing.assert_array_equal(a, b)
 
 
-def test_native_brighten_matches_numpy():
+@pytest.mark.parametrize("factor", [1.5, 2.0, 2.5, 3.0, 3.5])
+def test_native_brighten_matches_numpy(factor):
     x = np.random.RandomState(2).rand(4, 32, 32, 3).astype(np.float32)
-    a = native.brighten(x, 2.5)
-    b = np_brighten(x, 2.5)
-    np.testing.assert_allclose(a, b, atol=1e-7)
+    a = native.brighten(x, factor)
+    b = np_brighten(x, factor)
+    np.testing.assert_array_equal(a, b)
 
 
 def test_native_cifar_augment_matches_numpy():
