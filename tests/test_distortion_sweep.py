@@ -69,6 +69,25 @@ def test_rotate_matches_torchvision(hw):
         np.testing.assert_array_equal(ours, tv, err_msg=f"deg {deg}")
 
 
+@pytest.mark.parametrize("hw", [28, 32])
+def test_shift_matches_torchvision(hw):
+    """horizontal_shift == the reference's HorizontalTranslate
+    (F.affine(img, 0, (tx, 0), 1, 0, resample=0), src/data.py:105-116)
+    BITWISE: PIL AFFINE with the inverse translation matrix."""
+    Image = pytest.importorskip("PIL.Image")
+    from qbn_tpu.data.distortions import SHIFT_LEVELS, horizontal_shift
+
+    img = (np.arange(hw * hw, dtype=np.float32).reshape(hw, hw) + 10.0)
+    pil = Image.fromarray(img)
+    for dist in SHIFT_LEVELS:
+        tx = int(round(dist * hw))
+        tv = np.asarray(pil.transform((hw, hw), Image.AFFINE,
+                                      (1, 0, -tx, 0, 1, 0),
+                                      resample=Image.NEAREST, fillcolor=0))
+        ours = horizontal_shift(img[None, :, :, None], dist)[0, :, :, 0]
+        np.testing.assert_array_equal(ours, tv, err_msg=f"shift {dist}")
+
+
 def test_brighten_matches_pil_imageenhance():
     """brighten == PIL ImageEnhance.Brightness (the reference's
     ColorJitter path, src/data.py:208) BITWISE on uint8-derived images:
