@@ -85,7 +85,8 @@ def test_epoch_plan_replays_host_stream_bitwise():
                 yt[idx[b * bsz:(b + 1) * bsz]], host[b][1])
 
 
-def _run_epochs(cfg, mk_loaders, n_epochs, scan, monkeypatch):
+def _run_epochs(cfg, mk_loaders, n_epochs, scan, monkeypatch,
+                mode="float"):
     if scan:
         monkeypatch.setenv("QBN_EPOCH_SCAN", "on")
     else:
@@ -93,9 +94,10 @@ def _run_epochs(cfg, mk_loaders, n_epochs, scan, monkeypatch):
     train, valid = mk_loaders()
     model = build_model(cfg)
     tx, _ = build_optimizer(cfg, len(train))
-    trainer = Trainer(model, cfg, tx, mode="float", train_loader=train,
+    trainer = Trainer(model, cfg, tx, mode=mode, train_loader=train,
                       valid_loader=valid)
-    variables = init_variables(model, KEY, train.x[:cfg.batch_size])
+    variables = init_variables(model, KEY, train.x[:cfg.batch_size],
+                               quantized=(mode == "qat"))
     state = trainer.init_state(variables, jax.random.PRNGKey(cfg.seed))
     ms = []
     for ep in range(n_epochs):
@@ -150,6 +152,39 @@ def test_epoch_scan_conv_tracks_host_loop(monkeypatch):
         assert np.isclose(tm1[k], tm2[k], atol=5e-2), (k, tm1[k], tm2[k])
     for k in vm2:
         assert np.isclose(vm1[k], vm2[k], atol=5e-2), (k, vm1[k], vm2[k])
+
+
+def test_epoch_scan_qat_dense_bitwise(monkeypatch):
+    """QAT mode through the scan: quant-observer state rides the scan
+    carry exactly like params. Dense path => bitwise (params, observer
+    EMA ranges, metrics) vs the host loop, two epochs."""
+    cfg = Config(model="linear", task="regression",
+                 dataset="regression_synthetic", output_size=1,
+                 batch_size=20, learning_rate=1e-2, optimizer="adam",
+                 gamma=0.0, lr_schedule="constant", seed=3, q=True, at=True)
+    rng = np.random.RandomState(1)
+    xt = rng.rand(100, 4).astype(np.float32)
+    yt = rng.randn(100, 1).astype(np.float32)
+
+    def mk():
+        train = ArrayLoader(xt, yt, 20, shuffle=True, seed=3)
+        valid = ArrayLoader(xt[:50], yt[:50], 20, shuffle=False)
+        return train, valid
+
+    out = {}
+    for scan in (True, False):
+        state, _, ms = _run_epochs(cfg, mk, 2, scan, monkeypatch,
+                                   mode="qat")
+        out[scan] = (jax.tree.map(np.asarray, state.params),
+                     jax.tree.map(np.asarray,
+                                  state.model_state.get("quant", {})), ms)
+
+    p1, q1, m1 = out[True]
+    p2, q2, m2 = out[False]
+    assert m1 == m2
+    assert jax.tree.leaves(q1), "QAT run must carry observer state"
+    for a, b in zip(jax.tree.leaves((p1, q1)), jax.tree.leaves((p2, q2))):
+        np.testing.assert_array_equal(a, b)
 
 
 def test_eval_scan_matches_host_on_same_params(monkeypatch):
