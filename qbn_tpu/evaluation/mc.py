@@ -15,6 +15,7 @@ Predictive aggregation matches the reference exactly:
 
 from __future__ import annotations
 
+import os
 import time
 import zlib
 from functools import partial
@@ -128,11 +129,21 @@ def draw_sampled_weights(variables, plan, key, samples: int):
     the 'sampled' collection tree ('w' leaf replacing each 'q' entry key).
     """
     from qbn_tpu.ops.pallas.sample_weights import (
-        sample_weights_int8, sample_weights_oracle,
+        draw_all_layers, draw_flat, sample_weights_int8,
+        sample_weights_oracle,
     )
     on_tpu = jax.devices()[0].platform == "tpu"
-    out = {}
-    for i, (path, w_lo, w_hi) in enumerate(plan):
+    # draw formulations (TPU only; see sample_weights.py):
+    #   QBN_DRAW_ONE  — ONE kernel for every layer (lane-packed rows,
+    #                   per-row qparams); kills the ~21-call x small-block
+    #                   launch/lane-fill overhead
+    #   QBN_DRAW_FLAT — per-layer kernels on a lane-packed layout
+    fused_all = (on_tpu and samples % 2 == 0
+                 and os.environ.get("QBN_DRAW_ONE", "off") != "off")
+    flat = os.environ.get("QBN_DRAW_FLAT", "off") != "off"
+
+    entries = []           # (path, shape, w2, s2, qp, w_lo, w_hi)
+    for (path, w_lo, w_hi) in plan:
         node = variables["qconst"]
         for k in path:
             node = node[k]
@@ -142,22 +153,42 @@ def draw_sampled_weights(variables, plan, key, samples: int):
         qp = {k2: node[k2] for k2 in (
             "w_scale", "w_zp", "std_scale", "std_zp", "mul_scale",
             "mul_zp", "add_scale", "add_zp")}
-        w2 = node["w_codes"].reshape(m, n)
-        s2 = node["std_codes"].reshape(m, n)
-        k_i = jax.random.fold_in(key, i)
-        if on_tpu:
-            seed = jax.random.randint(k_i, (), 0, 2 ** 31 - 1)
-            codes = sample_weights_int8(w2, s2, qp, seed, samples,
-                                        w_lo, w_hi)
-        else:
-            noise = jax.random.normal(k_i, (samples, m, n), jnp.float32)
-            codes = sample_weights_oracle(w2, s2, qp, noise, w_lo, w_hi)
+        entries.append((path, shape, node["w_codes"].reshape(m, n),
+                        node["std_codes"].reshape(m, n), qp, w_lo, w_hi))
+
+    def emit(out, path, codes, shape):
         codes = codes.reshape((samples,) + shape)
         # insert at the module path, replacing the terminal 'q' with 'w'
         cursor = out
         for k in path[:-1]:
             cursor = cursor.setdefault(k, {})
         cursor["w"] = codes
+
+    out = {}
+    if fused_all:
+        seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)
+        all_codes = draw_all_layers(
+            [(w2, s2, qp, w_lo, w_hi)
+             for (_p, _sh, w2, s2, qp, w_lo, w_hi) in entries],
+            seed, samples)
+        for (path, shape, *_rest), codes in zip(entries, all_codes):
+            emit(out, path, codes, shape)
+        return out
+
+    for i, (path, shape, w2, s2, qp, w_lo, w_hi) in enumerate(entries):
+        k_i = jax.random.fold_in(key, i)
+        if on_tpu:
+            seed = jax.random.randint(k_i, (), 0, 2 ** 31 - 1)
+            if flat:
+                codes = draw_flat(w2, s2, qp, seed, samples, w_lo, w_hi)
+            else:
+                codes = sample_weights_int8(w2, s2, qp, seed, samples,
+                                            w_lo, w_hi)
+        else:
+            m, n = w2.shape
+            noise = jax.random.normal(k_i, (samples, m, n), jnp.float32)
+            codes = sample_weights_oracle(w2, s2, qp, noise, w_lo, w_hi)
+        emit(out, path, codes, shape)
     return out
 
 

@@ -277,6 +277,219 @@ def sample_weights_int8(w_codes, std_codes, qparams, seed, samples: int,
         seed_arr, w8, s8, qvec)
 
 
+_FLAT_LANES = 512
+
+
+def draw_flat(w_codes, std_codes, qparams, seed, samples: int,
+              w_lo: int, w_hi: int, noise: Optional[jax.Array] = None,
+              interpret: bool = False):
+    """sample_weights_int8 on a lane-packed layout.
+
+    The natural (M, cout) weight layout puts cout on the 128-lane axis, so
+    the width-24/48 ResNet stages run the draw kernel at 19-37% lane fill.
+    The kernel is purely elementwise, so the layout is free to choose:
+    flatten to (rows, 512) — full lane tiles — then slice the pad off.
+
+    `noise`, when given (testing), must already be (samples, rows, 512);
+    use flat_rows() for the row count.
+    """
+    m, n = w_codes.shape
+    total = m * n
+    rows = -(-total // _FLAT_LANES)
+    pad = rows * _FLAT_LANES - total
+    wf = w_codes.reshape(-1)
+    sf = std_codes.reshape(-1)
+    if pad:
+        wf = jnp.pad(wf, (0, pad))
+        sf = jnp.pad(sf, (0, pad))
+    codes = sample_weights_int8(
+        wf.reshape(rows, _FLAT_LANES), sf.reshape(rows, _FLAT_LANES),
+        qparams, seed, samples, w_lo, w_hi, noise=noise,
+        interpret=interpret)
+    codes = codes.reshape(samples, rows * _FLAT_LANES)
+    if pad:
+        codes = codes[:, :total]
+    return codes.reshape(samples, m, n)
+
+
+def flat_rows(m: int, n: int) -> int:
+    return -(-(m * n) // _FLAT_LANES)
+
+
+# ---------------------------------------------------------------------------
+# Whole-model fused draw: ONE pallas_call for every stochastic layer.
+#
+# The per-layer formulation issues ~21 pallas_calls x (samples/2) grid
+# steps for a ResNet-18, each step re-seeding the PRNG and processing one
+# (often tiny, lane-starved) weight block. Packing every layer into one
+# (R, 512) row buffer with per-ROW qparams (each layer padded to a row
+# boundary so a row never spans two layers) turns the whole draw into one
+# kernel with full-lane blocks.
+# ---------------------------------------------------------------------------
+
+_ROW_BLOCK = 512  # rows per grid step: (2, 512, 512) int8 out = 0.5 MB
+
+
+def _body_rows(eps, w, std, q):
+    """_body_from with per-row (broadcast along lanes) quantisation
+    parameters. q: (rows, 16) f32 — columns 0..9 = w_scale, w_zp,
+    std_scale, std_zp, mul_scale, mul_zp, add_scale, add_zp, w_lo, w_hi
+    (padded to 16 lanes for layout friendliness)."""
+    w_scale, w_zp = q[:, 0:1], q[:, 1:2]
+    std_scale, std_zp = q[:, 2:3], q[:, 3:4]
+    mul_scale, mul_zp = q[:, 4:5], q[:, 5:6]
+    add_scale, add_zp = q[:, 6:7], q[:, 7:8]
+    w_lo, w_hi = q[:, 8:9], q[:, 9:10]
+    std_f = (std.astype(jnp.float32) - std_zp) * std_scale
+    w_f = (w.astype(jnp.float32) - w_zp) * w_scale
+    eps_q = jnp.clip(jnp.round(eps * (1.0 / NOISE_SCALE)), -128, 127)
+    prod = jnp.clip(jnp.round(std_f * (eps_q * NOISE_SCALE)
+                              * (1.0 / mul_scale)) + mul_zp, -128, 127)
+    prod_f = (prod - mul_zp) * mul_scale
+    ws = jnp.clip(jnp.round((w_f + prod_f) * (1.0 / add_scale)) + add_zp,
+                  -128, 127)
+    return jnp.clip(ws, w_lo, w_hi).astype(jnp.int8)
+
+
+def _kernel_rows_prng(seed_ref, w_ref, std_ref, q_ref, out_ref, *,
+                      n_row_blocks, fast):
+    s = pl.program_id(0)
+    rb = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + s * n_row_blocks + rb)
+    draw = _standard_normal_pair_fast if fast else _standard_normal_pair
+    eps_a, eps_b = draw(w_ref.shape)
+    q = q_ref[:, :]
+    out_ref[0] = _body_rows(eps_a, w_ref[:], std_ref[:], q)
+    out_ref[1] = _body_rows(eps_b, w_ref[:], std_ref[:], q)
+
+
+def _kernel_rows_noise(w_ref, std_ref, q_ref, noise_ref, out_ref):
+    out_ref[0] = _body_rows(noise_ref[0], w_ref[:], std_ref[:],
+                            q_ref[:, :])
+
+
+def pack_layers(layers):
+    """Pack per-layer (w2, s2, qparams, w_lo, w_hi) into row buffers.
+
+    Returns (w_rows, std_rows, q_rows, offsets) where offsets[i] is the
+    starting row of layer i; each layer occupies flat_rows(m, n) rows.
+    Row count is padded to a _ROW_BLOCK multiple (pad rows draw garbage
+    that is never sliced back out).
+    """
+    w_parts, s_parts, q_parts, offsets = [], [], [], []
+    row = 0
+    for (w2, s2, qp, w_lo, w_hi) in layers:
+        m, n = w2.shape
+        rows = flat_rows(m, n)
+        pad = rows * _FLAT_LANES - m * n
+        wf = w2.reshape(-1)
+        sf = s2.reshape(-1)
+        if pad:
+            wf = jnp.pad(wf, (0, pad))
+            sf = jnp.pad(sf, (0, pad))
+        w_parts.append(wf.reshape(rows, _FLAT_LANES))
+        s_parts.append(sf.reshape(rows, _FLAT_LANES))
+        qv = jnp.stack([jnp.asarray(qp[k], jnp.float32) for k in (
+            "w_scale", "w_zp", "std_scale", "std_zp", "mul_scale",
+            "mul_zp", "add_scale", "add_zp")]
+            + [jnp.asarray(w_lo, jnp.float32),
+               jnp.asarray(w_hi, jnp.float32)]
+            + [jnp.zeros((), jnp.float32)] * 6)
+        q_parts.append(jnp.broadcast_to(qv[None], (rows, 16)))
+        offsets.append(row)
+        row += rows
+    total_rows = -(-row // _ROW_BLOCK) * _ROW_BLOCK
+    if total_rows != row:
+        extra = total_rows - row
+        w_parts.append(jnp.zeros((extra, _FLAT_LANES), jnp.int8))
+        s_parts.append(jnp.zeros((extra, _FLAT_LANES), jnp.int8))
+        q_parts.append(jnp.broadcast_to(
+            jnp.asarray([1.0, 0, 1, 0, 1, 0, 1, 0, -128, 127]
+                        + [0.0] * 6, jnp.float32)[None], (extra, 16)))
+    return (jnp.concatenate(w_parts), jnp.concatenate(s_parts),
+            jnp.concatenate(q_parts), offsets)
+
+
+def draw_all_layers(layers, seed, samples: int,
+                    noise: Optional[jax.Array] = None,
+                    interpret: bool = False):
+    """Draw `samples` int8 weight samples for EVERY layer in one kernel.
+
+    layers: list of (w_codes_2d, std_codes_2d, qparams, w_lo, w_hi).
+    noise (testing): (samples, R, 512) f32 where R is the packed padded
+    row count (use pack_layers to compute it).
+    Returns a list of (samples, m, n) int8 code arrays, layer order.
+    """
+    w_rows, s_rows, q_rows, offsets = pack_layers(layers)
+    r = w_rows.shape[0]
+    nrb = r // _ROW_BLOCK
+    interp = pltpu.InterpretParams() if interpret else False
+    common = dict(
+        out_shape=jax.ShapeDtypeStruct((samples, r, _FLAT_LANES),
+                                       jnp.int8),
+        interpret=interp,
+    )
+    if noise is not None:
+        out = pl.pallas_call(
+            _kernel_rows_noise,
+            grid=(samples, nrb),
+            in_specs=[
+                pl.BlockSpec((_ROW_BLOCK, _FLAT_LANES),
+                             lambda s, rb: (rb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_ROW_BLOCK, _FLAT_LANES),
+                             lambda s, rb: (rb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_ROW_BLOCK, 16), lambda s, rb: (rb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _ROW_BLOCK, _FLAT_LANES),
+                             lambda s, rb: (s, rb, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, _ROW_BLOCK, _FLAT_LANES),
+                                   lambda s, rb: (s, rb, 0),
+                                   memory_space=pltpu.VMEM),
+            **common,
+        )(w_rows, s_rows, q_rows, noise.astype(jnp.float32))
+    else:
+        import os
+        if samples % 2 != 0:
+            raise ValueError("fused whole-model draw needs even samples")
+        fast = os.environ.get("QBN_DRAW_FAST", "on") != "off"
+        kernel = functools.partial(_kernel_rows_prng, n_row_blocks=nrb,
+                                   fast=fast)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(samples // 2, nrb),
+            in_specs=[
+                pl.BlockSpec((_ROW_BLOCK, _FLAT_LANES),
+                             lambda s, rb, sref: (rb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_ROW_BLOCK, _FLAT_LANES),
+                             lambda s, rb, sref: (rb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_ROW_BLOCK, 16), lambda s, rb, sref: (rb, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((2, _ROW_BLOCK, _FLAT_LANES),
+                                   lambda s, rb, sref: (s, rb, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        seed_arr = jnp.asarray([seed], jnp.int32).reshape(1)
+        out = pl.pallas_call(kernel, grid_spec=grid_spec, **common)(
+            seed_arr, w_rows, s_rows, q_rows)
+
+    flat = out.reshape(samples, r * _FLAT_LANES)
+    results = []
+    for (w2, _s, _q, _lo, _hi), off in zip(layers, offsets):
+        m, n = w2.shape
+        start = off * _FLAT_LANES
+        results.append(
+            jax.lax.slice_in_dim(flat, start, start + m * n, axis=1)
+            .reshape(samples, m, n))
+    return results
+
+
 def sample_weights_oracle(w_codes, std_codes, qparams, noise, w_lo, w_hi):
     """Pure-XLA oracle for the explicit-noise variant (same arithmetic as
     the converted layers' int path, and bit-identical operation order to

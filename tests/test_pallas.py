@@ -8,6 +8,7 @@ import jax.numpy as jnp
 import pytest
 
 from qbn_tpu.ops.pallas.sample_weights import (
+    draw_all_layers, draw_flat, flat_rows, pack_layers,
     sample_weights_int8, sample_weights_oracle,
 )
 from qbn_tpu.ops.pallas.bbb_dense import local_reparam_dense_fused
@@ -50,6 +51,68 @@ def test_sample_weights_respects_sub8bit_bounds():
         w, std, QP, seed=0, samples=s, w_lo=-8, w_hi=7, noise=noise,
         interpret=True))
     assert out.min() >= -8 and out.max() <= 7
+
+
+def test_draw_flat_bookkeeping_bitwise():
+    """The lane-packed layout (draw_flat) must emit byte-identical codes
+    to the oracle on the original (m, n) layout when fed the same noise:
+    pad -> kernel -> slice is pure bookkeeping."""
+    m, n, s = 216, 24, 4           # a stage-0 conv shape: 5184 % 512 != 0
+    rng = np.random.RandomState(3)
+    w = jnp.asarray(rng.randint(-100, 100, (m, n)).astype(np.int8))
+    std = jnp.asarray(rng.randint(20, 60, (m, n)).astype(np.int8))
+    rows = flat_rows(m, n)
+    assert rows == 11  # 5184 -> 11 rows of 512 (pad 448)
+    noise_flat = rng.randn(s, rows, 512).astype(np.float32)
+    out = np.asarray(draw_flat(w, std, QP, seed=0, samples=s,
+                               w_lo=-128, w_hi=127,
+                               noise=jnp.asarray(noise_flat),
+                               interpret=True))
+    # oracle on the original layout with the identical noise values
+    noise_orig = noise_flat.reshape(s, -1)[:, :m * n].reshape(s, m, n)
+    expect = np.asarray(sample_weights_oracle(
+        w, std, QP, jnp.asarray(noise_orig), -128, 127))
+    diff = out.astype(np.int32) - expect.astype(np.int32)
+    assert np.abs(diff).max() <= 1          # reciprocal-division rounding
+    assert (diff != 0).mean() < 0.05
+    assert out.shape == (s, m, n)
+
+
+def test_draw_all_layers_matches_per_layer_oracle():
+    """The whole-model fused draw (per-row qparams, packed rows) must
+    match the per-layer oracle on every layer given the same noise."""
+    rng = np.random.RandomState(4)
+    s = 2
+    shapes = [(27, 24), (216, 24), (1728, 192), (192, 10)]
+    layers, qps, bounds = [], [], []
+    for j, (m, n) in enumerate(shapes):
+        w = jnp.asarray(rng.randint(-100, 100, (m, n)).astype(np.int8))
+        std = jnp.asarray(rng.randint(20, 60, (m, n)).astype(np.int8))
+        qp = {k: v * (1.0 + 0.1 * j) if isinstance(v, float) else v
+              for k, v in QP.items()}
+        lo, hi = (-128, 127) if j % 2 == 0 else (-64, 63)
+        layers.append((w, std, qp, lo, hi))
+        qps.append(qp)
+        bounds.append((lo, hi))
+    w_rows, _s_rows, _q_rows, offsets = pack_layers(layers)
+    r = w_rows.shape[0]
+    assert r % 512 == 0
+    noise = rng.randn(s, r, 512).astype(np.float32)
+    outs = draw_all_layers(layers, seed=0, samples=s,
+                           noise=jnp.asarray(noise), interpret=True)
+    flat_noise = noise.reshape(s, -1)
+    for (w, std, qp, lo, hi), off, out in zip(layers, offsets, outs):
+        # the per-layer kernel on the same noise: BIT-identical (both
+        # compute reciprocals in f32 in-kernel; the f64-reciprocal
+        # oracle tolerance is covered by the per-layer oracle test)
+        m, n = w.shape
+        start = off * 512
+        n_l = flat_noise[:, start:start + m * n].reshape(s, m, n)
+        expect = np.asarray(sample_weights_int8(
+            w, std, qp, seed=0, samples=s, w_lo=lo, w_hi=hi,
+            noise=jnp.asarray(n_l), interpret=True))
+        np.testing.assert_array_equal(np.asarray(out), expect,
+                                      err_msg=str((m, n)))
 
 
 def test_local_reparam_fused_matches_xla_oracle():
