@@ -1,8 +1,8 @@
 """Scalar metric writer: JSONL stream + final CSV, the observability
 equivalent of the reference's TensorBoard SummaryWriter
 (reference: src/utils.py:195-196, src/metrics.py:305-313). JSONL keeps the
-host dependency-free; the schema (tag, value, step, wall_time) is
-TensorBoard-convertible offline.
+host dependency-free; the schema (tag, value, step, wall_time) converts to
+real TensorBoard event files offline via tools/scalars_to_tb.py.
 """
 
 from __future__ import annotations

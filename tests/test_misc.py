@@ -51,6 +51,33 @@ def test_scalar_writer(tmp_path):
     assert lines[1]["value"] == 1.2 and lines[1]["step"] == 1
 
 
+def test_scalars_to_tensorboard_roundtrip(tmp_path):
+    import pytest
+    pytest.importorskip("tensorboard")
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    import scalars_to_tb
+
+    w = ScalarWriter(str(tmp_path))
+    w.scalar("train/obj", 1.5, 0)
+    w.scalar("train/obj", 1.2, 1)
+    w.scalar("valid/error", 0.25, 1)
+    w.close()
+    out_dir, n = scalars_to_tb.convert(w.path)
+    assert n == 3
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+    acc = EventAccumulator(out_dir)
+    acc.Reload()
+    assert set(acc.Tags()["scalars"]) == {"train/obj", "valid/error"}
+    events = acc.Scalars("train/obj")
+    assert [e.step for e in events] == [0, 1]
+    assert abs(events[1].value - 1.2) < 1e-6
+
+
 def test_presentation_plots(tmp_path):
     res = {"error": {"rotation": {str(l): [0.1 * l, 0.01]
                                   for l in range(5)},

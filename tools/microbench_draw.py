@@ -46,39 +46,53 @@ def main():
     rtt = min(ts)
     print(f"RTT {rtt*1e3:.1f} ms", flush=True)
 
-    for n in (100, 20):
-        @jax.jit
-        def loop(v, key):
-            def body(i, acc):
-                s = draw_sampled_weights(v, plan,
-                                         jax.random.fold_in(key, i), n)
-                leaves = jax.tree.leaves(s)
-                probe = sum(l.astype(jnp.float32)[(0,) * (l.ndim - 1)][0]
+    # variants: (QBN_DRAW_ONE, QBN_DRAW_FLAT) — flags are read at trace
+    # time inside draw_sampled_weights, so one process A/Bs all three
+    variants = [("per-layer", {}),
+                ("flat", {"QBN_DRAW_FLAT": "on"}),
+                ("fused-one", {"QBN_DRAW_ONE": "on"})]
+    for vname, env in variants:
+        for k in ("QBN_DRAW_ONE", "QBN_DRAW_FLAT"):
+            os.environ.pop(k, None)
+        os.environ.update(env)
+        for n in (100, 20):
+            def mk_loop(n=n):
+                @jax.jit
+                def loop(v, key):
+                    def body(i, acc):
+                        s = draw_sampled_weights(
+                            v, plan, jax.random.fold_in(key, i), n)
+                        leaves = jax.tree.leaves(s)
+                        probe = sum(
+                            l.astype(jnp.float32)[(0,) * (l.ndim - 1)][0]
                             for l in leaves)
-                return acc + probe
-            return lax.fori_loop(0, ITERS, body, jnp.zeros(()))
+                        return acc + probe
+                    return lax.fori_loop(0, ITERS, body, jnp.zeros(()))
+                return loop
+            loop = mk_loop()
 
-        key = jax.random.PRNGKey(5)
-        np.asarray(loop(variables, key))
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(loop(variables, jax.random.fold_in(key, 9)))
-            ts.append(time.perf_counter() - t0)
-        ms = (min(ts) - rtt) / ITERS * 1e3
-        drawn = draw_sampled_weights(variables, plan, key, n)
-        leaves = jax.tree.leaves(drawn)
-        nb = sum(int(np.prod(l.shape)) for l in leaves)
-        # PRNG sanity: per-position std over the sample axis must be
-        # driven by the posterior std (nonzero, stable across halves)
-        big = max(leaves, key=lambda l: l.size)
-        a = np.asarray(big, np.float32)
-        sd_all = a.std(axis=0).mean()
-        sd_even = a[0::2].std(axis=0).mean()
-        sd_odd = a[1::2].std(axis=0).mean()
-        print(f"draw N={n:4d}  {ms:7.2f} ms   ({nb/1e6:.1f} MB codes)  "
-              f"code-std all/even/odd {sd_all:.3f}/{sd_even:.3f}/"
-              f"{sd_odd:.3f}", flush=True)
+            key = jax.random.PRNGKey(5)
+            np.asarray(loop(variables, key))
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(loop(variables, jax.random.fold_in(key, 9)))
+                ts.append(time.perf_counter() - t0)
+            ms = (min(ts) - rtt) / ITERS * 1e3
+            drawn = draw_sampled_weights(variables, plan, key, n)
+            leaves = jax.tree.leaves(drawn)
+            nb = sum(int(np.prod(l.shape)) for l in leaves)
+            # PRNG sanity: per-position std over the sample axis must be
+            # driven by the posterior std (nonzero, stable across halves)
+            big = max(leaves, key=lambda l: l.size)
+            a = np.asarray(big, np.float32)
+            sd_all = a.std(axis=0).mean()
+            sd_even = a[0::2].std(axis=0).mean()
+            sd_odd = a[1::2].std(axis=0).mean()
+            print(f"{vname:9s} draw N={n:4d}  {ms:7.2f} ms   "
+                  f"({nb/1e6:.1f} MB codes)  "
+                  f"code-std all/even/odd {sd_all:.3f}/{sd_even:.3f}/"
+                  f"{sd_odd:.3f}", flush=True)
 
 
 if __name__ == "__main__":
