@@ -73,6 +73,42 @@ def bench(phase: str):
     return min(ts)
 
 
+def bench_noise(rtt: float):
+    """Cost of the local-reparam noise draws alone, per PRNG impl.
+
+    The BBB train forward draws a standard normal PER OUTPUT ACTIVATION
+    of every stochastic layer (~59M draws/step at the flagship shapes).
+    threefry is ~20 ops per u32 on the VPU; TPU's rbg lowering is a
+    hardware generator — this phase tells whether a Config-level PRNG
+    switch is worth wiring for training."""
+    shapes = ([(B, 32, 32, 24)] * 5 + [(B, 16, 16, 48)] * 5
+              + [(B, 8, 8, 96)] * 5 + [(B, 4, 4, 192)] * 5 + [(B, 10)])
+    total = sum(int(np.prod(s)) for s in shapes)
+    for impl in ("threefry2x32", "rbg"):
+        key = jax.random.key(0, impl=impl)
+
+        @jax.jit
+        def loop(key):
+            def body(i, acc):
+                k = jax.random.fold_in(key, i)
+                ks = jax.random.split(k, len(shapes))
+                s = acc
+                for kk, sh in zip(ks, shapes):
+                    s = s + jax.random.normal(kk, sh)[(0,) * len(sh)]
+                return s
+            return lax.fori_loop(0, ITERS, body, jnp.zeros(()))
+
+        np.asarray(loop(key))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(loop(key))
+            ts.append(time.perf_counter() - t0)
+        per = (min(ts) - rtt) / ITERS
+        print(f"noise[{impl:12s}] {per*1e3:7.2f} ms/step "
+              f"({total/1e6:.0f} M draws)", flush=True)
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
 
@@ -93,6 +129,7 @@ def main():
         per = dt / ITERS
         print(f"{phase:6s} train step {per*1e3:7.2f} ms  "
               f"{B/per:,.0f} examples/s", flush=True)
+    bench_noise(rtt)
 
 
 if __name__ == "__main__":
