@@ -158,11 +158,13 @@ def mc_eval_cell(name, model_name, dataset, batch, samples, rtt, iters,
         return predict(variables, x, key).sum()
 
     dt = timed_loop(fn, (variables, x), iters, rtt)
-    print(json.dumps({
+    rec = {
         "cell": name, "batch": batch, "samples": samples,
         "ms_per_batch": round(dt * 1e3, 2),
         "example_samples_per_sec": round(batch * samples / dt, 1),
-    }), flush=True)
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
 
 
 def main():
@@ -171,6 +173,8 @@ def main():
                     help="fewer loop iters (still RTT-corrected)")
     ap.add_argument("--only", default=None,
                     help="comma-separated cell-name substrings to run")
+    ap.add_argument("--write", action="store_true",
+                    help="render docs/BENCH_TABLE.md from the results")
     args = ap.parse_args()
     iters = 4 if args.quick else 12
 
@@ -195,15 +199,37 @@ def main():
             model_name="conv_resnet_bbb", dataset="cifar", batch=1,
             samples=100, chunk=None)),
     ]
+    recs = []
     for name, kw in cells:
         if args.only and not any(s in name
                                  for s in args.only.split(",")):
             continue
         try:
-            mc_eval_cell(name, rtt=rtt, iters=iters, **kw)
+            recs.append(mc_eval_cell(name, rtt=rtt, iters=iters, **kw))
         except Exception as e:  # keep the rest of the table alive
             print(json.dumps({"cell": name, "error": repr(e)[:300]}),
                   flush=True)
+    if args.write and recs:
+        lines = [
+            "# Framework benchmark table (real TPU v5e)", "",
+            "Generated by `python tools/bench_suite.py --write` — "
+            "RTT-corrected chained-loop timing (see the module "
+            "docstring for methodology). INT8 cells; the reference's "
+            "equivalents run single-threaded FBGEMM on CPU.", "",
+            "| cell | batch | MC samples | ms/batch | example-samples/s |",
+            "|---|---|---|---|---|",
+        ]
+        for r in recs:
+            lines.append(
+                f"| {r['cell']} | {r['batch']} | {r['samples']} | "
+                f"{r['ms_per_batch']} | "
+                f"{r['example_samples_per_sec']:,.0f} |")
+        lines.append("")
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "docs", "BENCH_TABLE.md")
+        with open(path, "w") as fh:
+            fh.write("\n".join(lines))
+        print(f"wrote {path}", flush=True)
 
 
 if __name__ == "__main__":
