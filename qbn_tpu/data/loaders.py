@@ -76,7 +76,14 @@ class ArrayLoader:
         self.rng = np.random.RandomState(seed)
         self.normalize_kind = None   # set by loader factories; names a
         # device-replayable normalize recipe for the epoch-scan path
-        self.drop_last = shuffle if drop_last is None else drop_last
+        # torch DataLoader default: the ragged tail batch IS trained and
+        # counted in len(loader) (reference: src/data.py:182-184 passes
+        # no drop_last; src/trainer.py:140 n_batches = len(loader)).
+        self.drop_last = False if drop_last is None else drop_last
+        # reference n_points = len(loader.dataset) — the FULL pre-split
+        # dataset (src/trainer.py:140); get_train_loaders overrides this
+        # to the pre-valid-split size.
+        self.dataset_size = len(x)
         n = len(x)
         if self.drop_last and n >= batch_size:
             self._len = n // batch_size
@@ -111,7 +118,8 @@ class ArrayLoader:
         and host epochs interleave/compare exactly."""
         n = len(self.x)
         idx = self.rng.permutation(n) if self.shuffle else np.arange(n)
-        aug = None
+        k_full = min(self._len, n // self.batch_size)
+        aug = tail_aug = None
         if self.augment is not None:
             if self.augment is not augment_cifar:
                 raise ValueError("epoch_plan: unknown augmenter")
@@ -119,8 +127,13 @@ class ArrayLoader:
                 self.rng,
                 len(idx[b * self.batch_size:(b + 1) * self.batch_size]))
                 for b in range(self._len)]
-            aug = tuple(np.stack([d[i] for d in draws]) for i in range(3))
-        return idx, aug
+            aug = tuple(np.stack([d[i] for d in draws[:k_full]])
+                        for i in range(3))
+            if self._len > k_full:
+                # ragged tail batch: its draws can't be stacked with the
+                # full-size ones — returned separately for the tail step
+                tail_aug = draws[k_full]
+        return idx, aug, tail_aug
 
 
 def _train_valid_split(x, y, valid_portion: float, seed: int):
@@ -162,11 +175,16 @@ def get_train_loaders(cfg, split: int = -1
     train = ArrayLoader(xt, yt, cfg.batch_size, shuffle=True, seed=cfg.seed,
                         augment=augment, normalize=normalize)
     train.normalize_kind = kind
+    # reference quirk kept on purpose: n_points = len(loader.dataset) is
+    # the dataset size BEFORE the valid split (SubsetRandomSampler over
+    # the full train_data, src/data.py:174-186 + src/trainer.py:140)
+    train.dataset_size = len(x)
     valid = None
     if cfg.valid_portion > 0:
         valid = ArrayLoader(xv, yv, cfg.batch_size, shuffle=False,
                             normalize=normalize)
         valid.normalize_kind = kind
+        valid.dataset_size = len(x)
     log.info("train size %d, valid size %d", len(xt), len(xv))
     return train, valid
 

@@ -178,24 +178,25 @@ def _ckpt_flush_every() -> int:
     return max(1, int(os.environ.get("QBN_CKPT_FLUSH", "25")))
 
 
-def _scan_eligible(cfg, mesh, loader, need_full: bool) -> bool:
+def _scan_eligible(cfg, mesh, loader, need_full: bool = False) -> bool:
     """Device-resident epoch scan preconditions: single device, no debug
     single-batch mode, an ArrayLoader whose augment/normalize recipe we
-    can replay on device, and (for training) only full-size batches."""
+    can replay on device, and at least two full-size batches (a ragged
+    tail batch is run as one extra step outside the scan)."""
     from qbn_tpu.data.loaders import ArrayLoader, augment_cifar
     from qbn_tpu.utils import scan_enabled
     if mesh is not None or cfg.debug:
         return False
     if not scan_enabled("QBN_EPOCH_SCAN"):
         return False
-    if not isinstance(loader, ArrayLoader) or len(loader) < 2:
+    if not isinstance(loader, ArrayLoader):
+        return False
+    if len(loader.x) // loader.batch_size < 2:
         return False
     if loader.augment is not None and loader.augment is not augment_cifar:
         return False
     if loader.normalize is not None and \
             getattr(loader, "normalize_kind", None) is None:
-        return False
-    if need_full and len(loader) * loader.batch_size > len(loader.x):
         return False
     return True
 
@@ -217,7 +218,10 @@ class Trainer:
         self.val_time = 0.0
         self.epoch = 0
         n_batches = len(train_loader)
-        n_points = train_loader.num_examples
+        # reference n_points = len(loader.dataset): the pre-valid-split
+        # dataset size (src/trainer.py:140) — NOT the train-subset size
+        n_points = getattr(train_loader, "dataset_size",
+                           train_loader.num_examples)
         self._train_step = make_train_step(model, cfg, tx, mode, n_batches,
                                            n_points)
         self._eval_step = make_eval_step(
@@ -265,7 +269,8 @@ class Trainer:
     def _get_train_scan(self, loader):
         if self._train_scan is not None:
             return self._train_scan
-        k, bsz = len(loader), loader.batch_size
+        bsz = loader.batch_size
+        k = min(len(loader), len(loader.x) // bsz)   # full batches only
         augmented = loader.augment is not None
         norm = getattr(loader, "normalize_kind", None) \
             if loader.normalize is not None else None
@@ -339,9 +344,10 @@ class Trainer:
         metric_state = _metrics_init(self.cfg.task)
         logs = {}
         loader = self.train_loader
-        if _scan_eligible(self.cfg, self.mesh, loader, need_full=True):
-            idx, aug = loader.epoch_plan()
-            k, bsz = len(loader), loader.batch_size
+        if _scan_eligible(self.cfg, self.mesh, loader):
+            idx, aug, tail_aug = loader.epoch_plan()
+            n, bsz = len(loader.x), loader.batch_size
+            k = min(len(loader), n // bsz)           # full batches
             if aug is None:
                 dummy = np.zeros((k, bsz), np.int32)
                 aug = (dummy, dummy, dummy)
@@ -350,6 +356,21 @@ class Trainer:
             state, metric_state, logs = run(
                 state, metric_state, xd, yd,
                 jnp.asarray(idx[:k * bsz]), *map(jnp.asarray, aug))
+            if len(loader) > k:
+                # ragged tail batch (drop_last=False, torch semantics):
+                # one extra step outside the scan, same draws/order as
+                # the host loop (epoch_plan consumed the tail draws)
+                sel = jnp.asarray(idx[k * bsz:])
+                xb = jnp.take(xd, sel, 0)
+                yb = jnp.take(yd, sel, 0)
+                if tail_aug is not None:
+                    xb = _device_augment_cifar(
+                        xb, *map(jnp.asarray, tail_aug))
+                norm = getattr(loader, "normalize_kind", None) \
+                    if loader.normalize is not None else None
+                xb = _device_normalize(xb, norm)
+                state, metric_state, logs = self._train_step(
+                    state, metric_state, xb, yb)
             # one batched device->host transfer for all scalars (each
             # separate float() pays a full relay RTT)
             fetched = jax.device_get(

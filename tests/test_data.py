@@ -27,10 +27,19 @@ def test_array_loader_batches_and_counts():
     batches = list(loader)
     assert batches[0][0].shape == (10, 1)
     assert batches[2][0].shape == (5, 1)
-    # shuffled train loader drops the tail for fixed XLA shapes
+    # shuffled train loader keeps the ragged tail batch — torch
+    # DataLoader drop_last=False semantics (reference src/data.py:182,
+    # n_batches = len(loader) at src/trainer.py:140)
     tl = ArrayLoader(x, y, batch_size=10, shuffle=True, seed=0)
-    assert len(tl) == 2
-    assert all(b[0].shape == (10, 1) for b in tl)
+    assert len(tl) == 3
+    sizes = [b[0].shape[0] for b in tl]
+    assert sizes == [10, 10, 5]
+    seen = np.sort(np.concatenate([b[1] for b in tl]))
+    np.testing.assert_array_equal(seen, y)   # every example each epoch
+    # explicit drop_last=True still available (perf paths)
+    td = ArrayLoader(x, y, batch_size=10, shuffle=True, seed=0,
+                     drop_last=True)
+    assert len(td) == 2
 
 
 def test_train_valid_split_portion():
@@ -39,6 +48,10 @@ def test_train_valid_split_portion():
     train, valid = get_train_loaders(cfg)
     assert train.num_examples == 800
     assert valid.num_examples == 200
+    # n_points quirk: reference len(loader.dataset) is the PRE-split
+    # dataset size for both loaders (src/trainer.py:140)
+    assert train.dataset_size == 1000
+    assert valid.dataset_size == 1000
 
 
 def test_distortions():

@@ -48,7 +48,7 @@ def _norm(a):
 
 
 def _conv_loaders():
-    xt, yt = _cifar_arrays(40)
+    xt, yt = _cifar_arrays(44)                        # 5 full + 4 tail
     xv, yv = _cifar_arrays(20, seed=7)
     train = ArrayLoader(xt, yt, 8, shuffle=True, seed=3,
                         augment=augment_cifar, normalize=_norm)
@@ -63,7 +63,7 @@ def test_epoch_plan_replays_host_stream_bitwise():
     (permutation, crop/flip draws) must equal the host loader's batches
     bit-for-bit, and both must consume the RandomState identically so the
     streams stay in lockstep across epochs."""
-    xt, yt = _cifar_arrays(40)
+    xt, yt = _cifar_arrays(44)
     host_loader, _ = _conv_loaders()
     plan_loader, _ = _conv_loaders()
 
@@ -74,8 +74,10 @@ def test_epoch_plan_replays_host_stream_bitwise():
 
     for _epoch in range(2):
         host = [(x.copy(), y.copy()) for x, y in host_loader]
-        idx, aug = plan_loader.epoch_plan()
-        k, bsz = len(plan_loader), plan_loader.batch_size
+        idx, aug, tail_aug = plan_loader.epoch_plan()
+        bsz = plan_loader.batch_size
+        k = len(xt) // bsz                            # full batches
+        assert len(host) == k + 1                     # + ragged tail
         xe = jnp.asarray(xt)[jnp.asarray(idx[:k * bsz])].reshape(
             (k, bsz) + xt.shape[1:])
         for b in range(k):
@@ -83,6 +85,11 @@ def test_epoch_plan_replays_host_stream_bitwise():
             np.testing.assert_array_equal(np.asarray(dev), host[b][0])
             np.testing.assert_array_equal(
                 yt[idx[b * bsz:(b + 1) * bsz]], host[b][1])
+        # ragged tail batch: separate draws, same stream position
+        dev = replay(jnp.asarray(xt)[jnp.asarray(idx[k * bsz:])],
+                     *(jnp.asarray(a) for a in tail_aug))
+        np.testing.assert_array_equal(np.asarray(dev), host[k][0])
+        np.testing.assert_array_equal(yt[idx[k * bsz:]], host[k][1])
 
 
 def _run_epochs(cfg, mk_loaders, n_epochs, scan, monkeypatch,
@@ -115,13 +122,13 @@ def test_epoch_scan_bitwise_regression(monkeypatch):
                  batch_size=20, learning_rate=1e-2, optimizer="adam",
                  gamma=0.0, lr_schedule="constant", seed=3)
     rng = np.random.RandomState(1)
-    xt = rng.rand(100, 4).astype(np.float32)
-    yt = rng.randn(100, 1).astype(np.float32)
+    xt = rng.rand(110, 4).astype(np.float32)         # 5 full + 10 tail
+    yt = rng.randn(110, 1).astype(np.float32)
 
     def mk():
         train = ArrayLoader(xt, yt, 20, shuffle=True, seed=3)
         valid = ArrayLoader(xt[:50], yt[:50], 20, shuffle=False)
-        return train, valid                          # 2 full + 10 remainder
+        return train, valid
 
     out = {}
     for scan in (True, False):
@@ -156,15 +163,19 @@ def test_epoch_scan_conv_tracks_host_loop(monkeypatch):
 
 def test_epoch_scan_qat_dense_bitwise(monkeypatch):
     """QAT mode through the scan: quant-observer state rides the scan
-    carry exactly like params. Dense path => bitwise (params, observer
-    EMA ranges, metrics) vs the host loop, two epochs."""
+    carry exactly like params. Dense path => bitwise TRAIN side (params,
+    observer EMA ranges, train metrics) vs the host loop, two epochs.
+    Valid metrics get a 1e-5 rtol: the scanned and host eval epochs are
+    two XLA compilations of the same HLO and the fake-quant + log(nll)
+    chain can round differently at the last ULP (observed: one ULP in
+    epoch-2 nll with bit-identical params and inputs)."""
     cfg = Config(model="linear", task="regression",
                  dataset="regression_synthetic", output_size=1,
                  batch_size=20, learning_rate=1e-2, optimizer="adam",
                  gamma=0.0, lr_schedule="constant", seed=3, q=True, at=True)
     rng = np.random.RandomState(1)
-    xt = rng.rand(100, 4).astype(np.float32)
-    yt = rng.randn(100, 1).astype(np.float32)
+    xt = rng.rand(110, 4).astype(np.float32)         # 5 full + 10 tail
+    yt = rng.randn(110, 1).astype(np.float32)
 
     def mk():
         train = ArrayLoader(xt, yt, 20, shuffle=True, seed=3)
@@ -181,7 +192,12 @@ def test_epoch_scan_qat_dense_bitwise(monkeypatch):
 
     p1, q1, m1 = out[True]
     p2, q2, m2 = out[False]
-    assert m1 == m2
+    for (tm1, vm1), (tm2, vm2) in zip(m1, m2):
+        assert tm1 == tm2
+        assert set(vm1) == set(vm2)
+        for k in vm2:
+            assert np.isclose(vm1[k], vm2[k], rtol=1e-5, atol=0.0), \
+                (k, vm1[k], vm2[k])
     assert jax.tree.leaves(q1), "QAT run must carry observer state"
     for a, b in zip(jax.tree.leaves((p1, q1)), jax.tree.leaves((p2, q2))):
         np.testing.assert_array_equal(a, b)
