@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""Lockstep training-parity probe: the UNMODIFIED torch reference LeNet
+and qbn_tpu's LeNet trained from IDENTICAL initial weights on IDENTICAL
+fixed batches (no shuffle), same Adam/cosine/wd hyperparameters. Prints
+per-step (loss_ref, loss_ours, delta) — a systematic divergence here
+isolates a training-semantics mismatch; agreement pushes the hard-task
+parity gap to the data/eval layer.
+
+Usage:
+  python parity/train_lockstep.py --data /tmp/parity/data_hard \
+      --steps 40 --batch 256
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+
+
+def torch_lenet(args_ns):
+    sys.path.insert(0, REFERENCE)
+    from src.models import ModelFactory
+    return ModelFactory.get_model("conv_lenet", [1, 1, 28, 28], 10,
+                                  False, args_ns)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("lockstep parity probe")
+    p.add_argument("--data", required=True)
+    p.add_argument("--steps", type=int, default=40)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=20,
+                   help="cosine T_max; steps beyond epochs*spe clamp")
+    p.add_argument("--n", type=int, default=512, help="examples used")
+    args = p.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from parity.torch_compat import install
+    install(REFERENCE)
+    import torch
+
+    # ---- shared fixed data (raw idx bytes -> /255, no shuffle)
+    from qbn_tpu.data.datasets import _read_idx_images, _read_idx_labels
+    xs = _read_idx_images(os.path.join(
+        args.data, "MNIST", "raw", "train-images-idx3-ubyte"))
+    ys = _read_idx_labels(os.path.join(
+        args.data, "MNIST", "raw", "train-labels-idx1-ubyte"))
+    x = xs[:args.n].astype(np.float32) / 255.0            # NHWC (N,28,28,1)
+    y = ys[:args.n].astype(np.int64)
+    spe = args.n // args.batch
+    print(f"[lockstep] {args.n} examples, {spe} steps/epoch")
+
+    # ---- reference model + optimizer (its own classes, untouched)
+    from types import SimpleNamespace
+    tns = SimpleNamespace(task="classification", gamma=0.0,
+                          activation_precision=7, weight_precision=8,
+                          q=False, at=False, samples=1)
+    torch.manual_seed(1)
+    tmodel = torch_lenet(tns)
+    from src.losses import LOSS_FACTORY
+    tcrit = LOSS_FACTORY["classification"](tns, "batch")
+    topt = torch.optim.Adam(tmodel.parameters(), 1e-3, weight_decay=1e-4)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingLR(topt, args.epochs)
+
+    # ---- our model from the SAME initial weights
+    from qbn_tpu.config import Config
+    from qbn_tpu.models.factory import build_model
+    from qbn_tpu.training.optim import build_optimizer
+    from qbn_tpu.training.trainer import Trainer, make_train_step
+    from qbn_tpu.training.trainer import _metrics_init
+    from qbn_tpu.utils import init_variables
+
+    cfg = Config(model="conv_lenet", task="classification",
+                 dataset="mnist", output_size=10, batch_size=args.batch,
+                 learning_rate=1e-3, weight_decay=1e-4, optimizer="adam",
+                 lr_schedule="cosine", epochs=args.epochs, gamma=0.0,
+                 seed=1, input_size=(28, 28, 1))
+    model = build_model(cfg)
+    variables = init_variables(model, jax.random.PRNGKey(0),
+                               x[:args.batch])
+    params = variables["params"]
+
+    tw = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    print("[lockstep] torch params:",
+          {k: v.shape for k, v in tw.items()})
+
+    def put(tree, path, arr):
+        node = tree
+        for k in path[:-1]:
+            node = node[k]
+        assert node[path[-1]].shape == arr.shape, \
+            (path, node[path[-1]].shape, arr.shape)
+        node[path[-1]] = jnp.asarray(arr)
+
+    params = jax.tree.map(np.asarray, params)  # mutable copy (dicts)
+    import flax
+    params = flax.core.unfreeze(params) if hasattr(flax.core, "unfreeze") \
+        else params
+    c0 = tw["layers.0.weight"].transpose(2, 3, 1, 0)          # HWIO
+    c1 = tw["layers.2.weight"].transpose(2, 3, 1, 0)
+    f0 = tw["layers.5.weight"].reshape(500, 50, 7, 7) \
+        .transpose(2, 3, 1, 0).reshape(2450, 500)             # (hwc, out)
+    f1 = tw["layers.7.weight"].T
+    put(params, ("conv_0", "kernel"), c0)
+    put(params, ("conv_1", "kernel"), c1)
+    put(params, ("fc_0", "kernel"), f0)
+    put(params, ("fc_1", "kernel"), f1)
+
+    tx, _ = build_optimizer(cfg, spe)
+    n_batches, n_points = spe, args.n
+    step_fn = make_train_step(model, cfg, tx, "float", n_batches, n_points)
+    trainer = None  # unused; step_fn is the whole loop
+    from qbn_tpu.training.trainer import TrainState
+    state = TrainState(
+        params=params,
+        model_state={k: v for k, v in variables.items() if k != "params"},
+        opt_state=tx.init(params), step=jnp.zeros((), jnp.int32),
+        rng=jax.random.PRNGKey(2))
+
+    tmodel.train()
+    worst = 0.0
+    for s in range(args.steps):
+        e, b = divmod(s, spe)
+        if b == 0 and e >= 1:
+            tsched.step()
+        xb = x[b * args.batch:(b + 1) * args.batch]
+        yb = y[b * args.batch:(b + 1) * args.batch]
+
+        # torch step (mirrors reference trainer._step)
+        ti = torch.from_numpy(xb.transpose(0, 3, 1, 2))
+        tt = torch.from_numpy(yb)
+        topt.zero_grad()
+        tout = tmodel(ti)
+        tobj, _, _ = tcrit(tout, tt, torch.zeros(1), 0.0,
+                           n_batches, n_points)
+        tobj.backward()
+        topt.step()
+
+        # ours
+        ms = _metrics_init(cfg.task)
+        state, ms, logs = step_fn(state, ms, jnp.asarray(xb),
+                                  jnp.asarray(yb))
+        lo = float(logs["obj"])
+        lt = float(tobj.detach())
+        worst = max(worst, abs(lo - lt))
+        print(f"step {s:3d} (ep {e:2d}) ref {lt:.6f} ours {lo:.6f} "
+              f"d {lo - lt:+.2e}")
+    print(f"[lockstep] worst |delta loss| over {args.steps} steps: "
+          f"{worst:.3e}")
+
+    # ---- endpoint comparison: where does each stack LAND?
+    xt = _read_idx_images(os.path.join(
+        args.data, "MNIST", "raw", "t10k-images-idx3-ubyte"))
+    yt = _read_idx_labels(os.path.join(
+        args.data, "MNIST", "raw", "t10k-labels-idx1-ubyte"))
+    xtest = xt.astype(np.float32) / 255.0
+    ytest = yt.astype(np.int64)
+
+    def t_err(xa, ya):
+        tmodel.eval()
+        errs = 0
+        with torch.no_grad():
+            for i in range(0, len(xa), 500):
+                o = tmodel(torch.from_numpy(
+                    xa[i:i+500].transpose(0, 3, 1, 2)))
+                errs += int((o.argmax(1).numpy() != ya[i:i+500]).sum())
+        tmodel.train()
+        return errs / len(xa)
+
+    def o_err(xa, ya):
+        errs = 0
+        for i in range(0, len(xa), 500):
+            out = model.apply(
+                {"params": state.params, **state.model_state},
+                jnp.asarray(xa[i:i+500]), train=False, mode="float")
+            errs += int((np.asarray(out).argmax(1) != ya[i:i+500]).sum())
+        return errs / len(xa)
+
+    print(f"[lockstep] endpoint train err: ref {t_err(x, y):.4f} "
+          f"ours {o_err(x, y):.4f}")
+    print(f"[lockstep] endpoint test  err: ref {t_err(xtest, ytest):.4f} "
+          f"ours {o_err(xtest, ytest):.4f}")
+
+
+if __name__ == "__main__":
+    main()
