@@ -30,16 +30,11 @@ def torch_lenet(args_ns):
                                   False, args_ns)
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser("lockstep parity probe")
-    p.add_argument("--data", required=True)
-    p.add_argument("--steps", type=int, default=40)
-    p.add_argument("--batch", type=int, default=256)
-    p.add_argument("--epochs", type=int, default=20,
-                   help="cosine T_max; steps beyond epochs*spe clamp")
-    p.add_argument("--n", type=int, default=512, help="examples used")
-    args = p.parse_args(argv)
-
+def run_lockstep(x, y, steps, batch, epochs, xtest=None, ytest=None,
+                 verbose=True):
+    """Train both stacks in lockstep on (x, y); returns
+    (worst |delta loss| over steps, per-stack endpoint (train, test)
+    error dicts — test entries only when xtest is given)."""
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -50,16 +45,9 @@ def main(argv=None):
     install(REFERENCE)
     import torch
 
-    # ---- shared fixed data (raw idx bytes -> /255, no shuffle)
-    from qbn_tpu.data.datasets import _read_idx_images, _read_idx_labels
-    xs = _read_idx_images(os.path.join(
-        args.data, "MNIST", "raw", "train-images-idx3-ubyte"))
-    ys = _read_idx_labels(os.path.join(
-        args.data, "MNIST", "raw", "train-labels-idx1-ubyte"))
-    x = xs[:args.n].astype(np.float32) / 255.0            # NHWC (N,28,28,1)
-    y = ys[:args.n].astype(np.int64)
-    spe = args.n // args.batch
-    print(f"[lockstep] {args.n} examples, {spe} steps/epoch")
+    spe = len(x) // batch
+    if verbose:
+        print(f"[lockstep] {len(x)} examples, {spe} steps/epoch")
 
     # ---- reference model + optimizer (its own classes, untouched)
     from types import SimpleNamespace
@@ -71,7 +59,7 @@ def main(argv=None):
     from src.losses import LOSS_FACTORY
     tcrit = LOSS_FACTORY["classification"](tns, "batch")
     topt = torch.optim.Adam(tmodel.parameters(), 1e-3, weight_decay=1e-4)
-    tsched = torch.optim.lr_scheduler.CosineAnnealingLR(topt, args.epochs)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingLR(topt, epochs)
 
     # ---- our model from the SAME initial weights
     from qbn_tpu.config import Config
@@ -82,13 +70,13 @@ def main(argv=None):
     from qbn_tpu.utils import init_variables
 
     cfg = Config(model="conv_lenet", task="classification",
-                 dataset="mnist", output_size=10, batch_size=args.batch,
+                 dataset="mnist", output_size=10, batch_size=batch,
                  learning_rate=1e-3, weight_decay=1e-4, optimizer="adam",
-                 lr_schedule="cosine", epochs=args.epochs, gamma=0.0,
+                 lr_schedule="cosine", epochs=epochs, gamma=0.0,
                  seed=1, input_size=(28, 28, 1))
     model = build_model(cfg)
     variables = init_variables(model, jax.random.PRNGKey(0),
-                               x[:args.batch])
+                               x[:batch])
     params = variables["params"]
 
     tw = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
@@ -118,7 +106,7 @@ def main(argv=None):
     put(params, ("fc_1", "kernel"), f1)
 
     tx, _ = build_optimizer(cfg, spe)
-    n_batches, n_points = spe, args.n
+    n_batches, n_points = spe, len(x)
     step_fn = make_train_step(model, cfg, tx, "float", n_batches, n_points)
     trainer = None  # unused; step_fn is the whole loop
     from qbn_tpu.training.trainer import TrainState
@@ -130,12 +118,12 @@ def main(argv=None):
 
     tmodel.train()
     worst = 0.0
-    for s in range(args.steps):
+    for s in range(steps):
         e, b = divmod(s, spe)
         if b == 0 and e >= 1:
             tsched.step()
-        xb = x[b * args.batch:(b + 1) * args.batch]
-        yb = y[b * args.batch:(b + 1) * args.batch]
+        xb = x[b * batch:(b + 1) * batch]
+        yb = y[b * batch:(b + 1) * batch]
 
         # torch step (mirrors reference trainer._step)
         ti = torch.from_numpy(xb.transpose(0, 3, 1, 2))
@@ -154,19 +142,14 @@ def main(argv=None):
         lo = float(logs["obj"])
         lt = float(tobj.detach())
         worst = max(worst, abs(lo - lt))
-        print(f"step {s:3d} (ep {e:2d}) ref {lt:.6f} ours {lo:.6f} "
-              f"d {lo - lt:+.2e}")
-    print(f"[lockstep] worst |delta loss| over {args.steps} steps: "
-          f"{worst:.3e}")
+        if verbose:
+            print(f"step {s:3d} (ep {e:2d}) ref {lt:.6f} ours {lo:.6f} "
+                  f"d {lo - lt:+.2e}")
+    if verbose:
+        print(f"[lockstep] worst |delta loss| over {steps} steps: "
+              f"{worst:.3e}")
 
     # ---- endpoint comparison: where does each stack LAND?
-    xt = _read_idx_images(os.path.join(
-        args.data, "MNIST", "raw", "t10k-images-idx3-ubyte"))
-    yt = _read_idx_labels(os.path.join(
-        args.data, "MNIST", "raw", "t10k-labels-idx1-ubyte"))
-    xtest = xt.astype(np.float32) / 255.0
-    ytest = yt.astype(np.int64)
-
     def t_err(xa, ya):
         tmodel.eval()
         errs = 0
@@ -187,10 +170,42 @@ def main(argv=None):
             errs += int((np.asarray(out).argmax(1) != ya[i:i+500]).sum())
         return errs / len(xa)
 
-    print(f"[lockstep] endpoint train err: ref {t_err(x, y):.4f} "
-          f"ours {o_err(x, y):.4f}")
-    print(f"[lockstep] endpoint test  err: ref {t_err(xtest, ytest):.4f} "
-          f"ours {o_err(xtest, ytest):.4f}")
+    ends = {"ref": {"train": t_err(x, y)}, "ours": {"train": o_err(x, y)}}
+    if xtest is not None:
+        ends["ref"]["test"] = t_err(xtest, ytest)
+        ends["ours"]["test"] = o_err(xtest, ytest)
+    if verbose:
+        print(f"[lockstep] endpoint train err: ref "
+              f"{ends['ref']['train']:.4f} ours {ends['ours']['train']:.4f}")
+        if xtest is not None:
+            print(f"[lockstep] endpoint test  err: ref "
+                  f"{ends['ref']['test']:.4f} ours "
+                  f"{ends['ours']['test']:.4f}")
+    return worst, ends
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("lockstep parity probe")
+    p.add_argument("--data", required=True)
+    p.add_argument("--steps", type=int, default=40)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=20,
+                   help="cosine T_max; steps beyond epochs*spe clamp")
+    p.add_argument("--n", type=int, default=512, help="examples used")
+    args = p.parse_args(argv)
+    from qbn_tpu.data.datasets import _read_idx_images, _read_idx_labels
+    xs = _read_idx_images(os.path.join(
+        args.data, "MNIST", "raw", "train-images-idx3-ubyte"))
+    ys = _read_idx_labels(os.path.join(
+        args.data, "MNIST", "raw", "train-labels-idx1-ubyte"))
+    xt = _read_idx_images(os.path.join(
+        args.data, "MNIST", "raw", "t10k-images-idx3-ubyte"))
+    yt = _read_idx_labels(os.path.join(
+        args.data, "MNIST", "raw", "t10k-labels-idx1-ubyte"))
+    run_lockstep(xs[:args.n].astype(np.float32) / 255.0,
+                 ys[:args.n].astype(np.int64),
+                 args.steps, args.batch, args.epochs,
+                 xt.astype(np.float32) / 255.0, yt.astype(np.int64))
 
 
 if __name__ == "__main__":
