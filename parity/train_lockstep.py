@@ -31,10 +31,22 @@ def torch_lenet(args_ns):
 
 
 def run_lockstep(x, y, steps, batch, epochs, xtest=None, ytest=None,
-                 verbose=True):
+                 verbose=True, optimizer="adam", burnin_epochs=2,
+                 resample_momentum_iterations=50,
+                 resample_prior_iterations=15):
     """Train both stacks in lockstep on (x, y); returns
     (worst |delta loss| over steps, per-stack endpoint (train, test)
-    error dicts — test entries only when xtest is given)."""
+    error dicts — test entries only when xtest is given).
+
+    optimizer='adam' (default) mirrors the float flows (Adam + cosine +
+    coupled wd + 'batch' scaling). optimizer='sghmc' drives the
+    reference's own SGLD optimizer (utils_sgld.py) against our sghmc
+    transform with 'whole' scaling and constant lr, with BOTH stacks'
+    stochastic draws pinned to their means (normals -> 0, Gamma -> its
+    mean a*scale) so every deterministic term of the update law —
+    weight-decay gradient assembly, burn-in tau/g/V_hat adaptation,
+    V^-1/2 preconditioning, friction, prior-precision resampling —
+    is compared step by step on real data."""
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -53,13 +65,25 @@ def run_lockstep(x, y, steps, batch, epochs, xtest=None, ytest=None,
     from types import SimpleNamespace
     tns = SimpleNamespace(task="classification", gamma=0.0,
                           activation_precision=7, weight_precision=8,
-                          q=False, at=False, samples=1)
+                          q=False, at=False, samples=1,
+                          loss_multiplier=1.0)
     torch.manual_seed(1)
     tmodel = torch_lenet(tns)
     from src.losses import LOSS_FACTORY
-    tcrit = LOSS_FACTORY["classification"](tns, "batch")
-    topt = torch.optim.Adam(tmodel.parameters(), 1e-3, weight_decay=1e-4)
-    tsched = torch.optim.lr_scheduler.CosineAnnealingLR(topt, epochs)
+    tsched = None
+    if optimizer == "sghmc":
+        import src.models.stochastic.sgld.utils_sgld as usgld
+        # pin the stochastic terms to their means (shim, both stacks)
+        usgld.gamma = lambda shape, scale, size=None: shape * scale
+        torch.normal = lambda mean, std: torch.zeros_like(mean)
+        tcrit = LOSS_FACTORY["classification"](tns, "whole")
+        topt = usgld.SGLD(tmodel.parameters(), lr=1e-2, base_C=0.05,
+                          gauss_sig=0.1)
+    else:
+        tcrit = LOSS_FACTORY["classification"](tns, "batch")
+        topt = torch.optim.Adam(tmodel.parameters(), 1e-3,
+                                weight_decay=1e-4)
+        tsched = torch.optim.lr_scheduler.CosineAnnealingLR(topt, epochs)
 
     # ---- our model from the SAME initial weights
     from qbn_tpu.config import Config
@@ -69,11 +93,23 @@ def run_lockstep(x, y, steps, batch, epochs, xtest=None, ytest=None,
     from qbn_tpu.training.trainer import _metrics_init
     from qbn_tpu.utils import init_variables
 
-    cfg = Config(model="conv_lenet", task="classification",
-                 dataset="mnist", output_size=10, batch_size=batch,
-                 learning_rate=1e-3, weight_decay=1e-4, optimizer="adam",
-                 lr_schedule="cosine", epochs=epochs, gamma=0.0,
-                 seed=1, input_size=(28, 28, 1))
+    if optimizer == "sghmc":
+        cfg = Config(model="conv_lenet", task="classification",
+                     dataset="mnist", output_size=10, batch_size=batch,
+                     learning_rate=1e-2, weight_decay=0.0,
+                     optimizer="sghmc", lr_schedule="constant",
+                     loss_scaling="whole", epochs=epochs, gamma=0.0,
+                     burnin_epochs=burnin_epochs,
+                     resample_momentum_iterations=(
+                         resample_momentum_iterations),
+                     resample_prior_iterations=resample_prior_iterations,
+                     seed=1, input_size=(28, 28, 1))
+    else:
+        cfg = Config(model="conv_lenet", task="classification",
+                     dataset="mnist", output_size=10, batch_size=batch,
+                     learning_rate=1e-3, weight_decay=1e-4,
+                     optimizer="adam", lr_schedule="cosine", epochs=epochs,
+                     gamma=0.0, seed=1, input_size=(28, 28, 1))
     model = build_model(cfg)
     variables = init_variables(model, jax.random.PRNGKey(0),
                                x[:batch])
@@ -105,6 +141,19 @@ def run_lockstep(x, y, steps, batch, epochs, xtest=None, ytest=None,
     put(params, ("fc_0", "kernel"), f0)
     put(params, ("fc_1", "kernel"), f1)
 
+    restore_jr = None
+    if optimizer == "sghmc":
+        # pin our stochastic terms to their means too (trace-time patch;
+        # the pointwise float forward draws no other normals)
+        _orig_normal, _orig_gamma = jax.random.normal, jax.random.gamma
+        jax.random.normal = (
+            lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape,
+                                                              dtype))
+        jax.random.gamma = (
+            lambda key, a, shape=None, dtype=jnp.float32:
+            jnp.asarray(a, jnp.float32))
+        restore_jr = (_orig_normal, _orig_gamma)
+
     tx, _ = build_optimizer(cfg, spe)
     n_batches, n_points = spe, len(x)
     step_fn = make_train_step(model, cfg, tx, "float", n_batches, n_points)
@@ -120,7 +169,7 @@ def run_lockstep(x, y, steps, batch, epochs, xtest=None, ytest=None,
     worst = 0.0
     for s in range(steps):
         e, b = divmod(s, spe)
-        if b == 0 and e >= 1:
+        if b == 0 and e >= 1 and tsched is not None:
             tsched.step()
         xb = x[b * batch:(b + 1) * batch]
         yb = y[b * batch:(b + 1) * batch]
@@ -133,7 +182,14 @@ def run_lockstep(x, y, steps, batch, epochs, xtest=None, ytest=None,
         tobj, _, _ = tcrit(tout, tt, torch.zeros(1), 0.0,
                            n_batches, n_points)
         tobj.backward()
-        topt.step()
+        if optimizer == "sghmc":
+            topt.step(
+                burn_in=(e < burnin_epochs),
+                resample_momentum=(
+                    s % resample_momentum_iterations == 0),
+                resample_prior=(s % resample_prior_iterations == 0))
+        else:
+            topt.step()
 
         # ours
         ms = _metrics_init(cfg.task)
@@ -148,6 +204,8 @@ def run_lockstep(x, y, steps, batch, epochs, xtest=None, ytest=None,
     if verbose:
         print(f"[lockstep] worst |delta loss| over {steps} steps: "
               f"{worst:.3e}")
+    if restore_jr is not None:
+        jax.random.normal, jax.random.gamma = restore_jr
 
     # ---- endpoint comparison: where does each stack LAND?
     def t_err(xa, ya):
@@ -192,6 +250,8 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=20,
                    help="cosine T_max; steps beyond epochs*spe clamp")
     p.add_argument("--n", type=int, default=512, help="examples used")
+    p.add_argument("--optimizer", default="adam",
+                   choices=["adam", "sghmc"])
     args = p.parse_args(argv)
     from qbn_tpu.data.datasets import _read_idx_images, _read_idx_labels
     xs = _read_idx_images(os.path.join(
@@ -205,7 +265,8 @@ def main(argv=None):
     run_lockstep(xs[:args.n].astype(np.float32) / 255.0,
                  ys[:args.n].astype(np.int64),
                  args.steps, args.batch, args.epochs,
-                 xt.astype(np.float32) / 255.0, yt.astype(np.int64))
+                 xt.astype(np.float32) / 255.0, yt.astype(np.int64),
+                 optimizer=args.optimizer)
 
 
 if __name__ == "__main__":

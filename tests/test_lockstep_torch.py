@@ -31,3 +31,33 @@ def test_lockstep_losses_match_torch():
     worst, _ = run_lockstep(x, y, steps=6, batch=32, epochs=3,
                             verbose=False)
     assert worst < 1e-3, worst
+
+
+def test_lockstep_sghmc_matches_torch():
+    """SGHMC update-law parity against the reference's own SGLD
+    optimiser, stochastic terms pinned to their means in both stacks
+    (normals -> 0, Gamma -> mean): weight-decay gradient assembly,
+    burn-in tau/g/V_hat adaptation, V^-1/2 preconditioning, friction
+    and prior-precision resampling compared step by step. Losses are
+    'whole'-scaled (~n_points * nll), so the threshold is relative."""
+    torch = pytest.importorskip("torch")
+    del torch
+    from parity.train_lockstep import run_lockstep
+
+    rng = np.random.RandomState(1)
+    x = rng.rand(64, 28, 28, 1).astype(np.float32)
+    y = rng.randint(0, 10, 64).astype(np.int64)
+    # 2 steps/epoch x 4 epochs: covers burn-in (epochs 0-1: adaptation +
+    # prior/momentum resample at steps 0,3,6) AND post-burn-in frozen
+    # preconditioner steps
+    worst, _ = run_lockstep(x, y, steps=8, batch=32, epochs=4,
+                            verbose=False, optimizer="sghmc",
+                            burnin_epochs=2,
+                            resample_momentum_iterations=3,
+                            resample_prior_iterations=3)
+    # 'whole' losses run 147 -> 1105 over these 8 steps (the lr=1e-2
+    # post-burn-in dynamics genuinely explode — in BOTH stacks, to
+    # matching values): steps 0-5 agree to ~1e-5 absolute and the stiff
+    # steps amplify ULP noise, so bound the worst step at 0.1 absolute
+    # (~7e-4 relative)
+    assert worst < 0.1, worst
