@@ -81,4 +81,37 @@ python parity/compare.py --out $T/cifar.md --pairs \
   bbb:float:$(R cifar_bbb not_q):$(O cifar_bbb not_q) \
   bbb:int8_a7w8:$(R cifar_bbb qat):$(O cifar_bbb qat) > /dev/null
 
+# cifar tier, remaining methods (run_cifar_more.sh) — rendered only
+# once those cells exist
+if ls $W/ref_cifar_mcdropout/not_q-cifar* >/dev/null 2>&1; then
+python parity/compare.py --out $T/cifar_more.md --pairs \
+  mcdropout:float:$(R cifar_mcdropout not_q):$(O cifar_mcdropout not_q) \
+  mcdropout:int8_a7w8:$(R cifar_mcdropout qat):$(O cifar_mcdropout qat) \
+  pointwise:float:$(R cifar_pointwise not_q):$(O cifar_pointwise not_q) \
+  pointwise:int8_a7w8:$(R cifar_pointwise qat):$(O cifar_pointwise qat) \
+  > /dev/null
+fi
+
+# real digits tier — SGHMC ensemble cell (run_digits_sgld.sh), seed 1
+if ls $WD/ref_sgld/not_q-* >/dev/null 2>&1; then
+python parity/compare.py --out $T/digits_sgld.md --pairs \
+  sgld:float:$(RD sgld not_q):$(OD sgld not_q) \
+  sgld:int8_a7w8:$(RD sgld qat):$(OD sgld qat) > /dev/null
+fi
+
+# real digits multi-seed aggregation (run_digits_seeds.sh seeds 2-3 +
+# the seed-1 cells)
+RDS() { ls -dt $WD/ref_$1_s$2/$3-* | head -1; }
+ODS() { ls -dt $WD/ours_$1_s$2/$3-* | head -1; }
+if ls $WD/ref_sgld_s3/qat-* >/dev/null 2>&1; then
+python parity/aggregate_seeds.py --out $T/digits_sgld_seeds.md --cells \
+  "sgld:float:$(RD sgld not_q),$(RDS sgld 2 not_q),$(RDS sgld 3 not_q):$(OD sgld not_q),$(ODS sgld 2 not_q),$(ODS sgld 3 not_q)" \
+  "sgld:int8_a7w8:$(RD sgld qat),$(RDS sgld 2 qat),$(RDS sgld 3 qat):$(OD sgld qat),$(ODS sgld 2 qat),$(ODS sgld 3 qat)" > /dev/null
+fi
+if ls $WD/ref_bbb_s3/qat-* >/dev/null 2>&1; then
+python parity/aggregate_seeds.py --out $T/digits_bbb_seeds.md --cells \
+  "bbb:float:$(RD bbb not_q),$(RDS bbb 2 not_q),$(RDS bbb 3 not_q):$(OD bbb not_q),$(ODS bbb 2 not_q),$(ODS bbb 3 not_q)" \
+  "bbb:int8_a7w8:$(RD bbb qat),$(RDS bbb 2 qat),$(RDS bbb 3 qat):$(OD bbb qat),$(ODS bbb 2 qat),$(ODS bbb 3 qat)" > /dev/null
+fi
+
 echo "tables rendered under $T/"
