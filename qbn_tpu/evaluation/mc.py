@@ -133,14 +133,19 @@ def draw_sampled_weights(variables, plan, key, samples: int):
         sample_weights_oracle,
     )
     on_tpu = jax.devices()[0].platform == "tpu"
-    # draw formulations (TPU only; see sample_weights.py):
-    #   QBN_DRAW_ONE  — ONE kernel for every layer (lane-packed rows,
-    #                   per-row qparams); kills the ~21-call x small-block
-    #                   launch/lane-fill overhead
-    #   QBN_DRAW_FLAT — per-layer kernels on a lane-packed layout
+    # draw formulations (TPU only; see sample_weights.py). Measured on the
+    # real v5e (tools/microbench_draw.py, flagship N=100 bulk draw):
+    #   QBN_DRAW_FLAT — per-layer kernels on a lane-packed (rows, 512)
+    #                   layout: 5.98 ms vs 6.72 natural-layout (the
+    #                   width-24/48 stages only fill 19-37% of the lanes
+    #                   in the natural (M, cout) view) — DEFAULT ON.
+    #   QBN_DRAW_ONE  — ONE kernel for every layer (shared row buffer,
+    #                   per-row qparams): 7.20 ms — the single serialized
+    #                   grid loses more overlap than the ~21 launches
+    #                   cost; kept as a measured-negative library.
     fused_all = (on_tpu and samples % 2 == 0
                  and os.environ.get("QBN_DRAW_ONE", "off") != "off")
-    flat = os.environ.get("QBN_DRAW_FLAT", "off") != "off"
+    flat = os.environ.get("QBN_DRAW_FLAT", "on") != "off"
 
     entries = []           # (path, shape, w2, s2, qp, w_lo, w_hi)
     for (path, w_lo, w_hi) in plan:
