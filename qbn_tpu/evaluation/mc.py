@@ -44,6 +44,16 @@ def merged_enabled() -> bool:
     return os.environ.get("QBN_MERGED", "on") != "off"
 
 
+def _trace_time_flags() -> tuple:
+    """Snapshot of the QBN_* env flags that are read at TRACE time inside
+    the jitted eval step (draw formulation + merged layout + fast-math).
+    Folded into the _STEP_CACHE key so toggling a flag after the first
+    eval in a process takes effect instead of silently hitting the memo."""
+    return tuple(os.environ.get(k, d) for k, d in (
+        ("QBN_MERGED", "on"), ("QBN_DRAW_FLAT", "on"),
+        ("QBN_DRAW_ONE", "off"), ("QBN_DRAW_FAST", "on")))
+
+
 def mc_predict(model, variables, x, key, *, samples: int, mode: str,
                ensemble: bool = False, plan=None, merged=None,
                presampled=None):
@@ -233,7 +243,7 @@ def make_mc_eval(model, cfg: Config, mode: str, samples: Optional[int] = None,
     plan_key = None if plan is None else tuple(
         (tuple(p), int(lo), int(hi)) for p, lo, hi in plan)
     cache_key = (id(model), id(mesh), cfg.task, mode, samples, ensemble,
-                 plan_key)
+                 plan_key, _trace_time_flags())
     hit = _STEP_CACHE.get(cache_key)
     if hit is not None:
         return hit[-1]
