@@ -30,10 +30,18 @@ def main(argv=None):
     p = argparse.ArgumentParser("campaign dataset generator")
     p.add_argument("--out", default="/root/campaign_data")
     p.add_argument("--seed", type=int, default=0)
+    # MNIST-tier difficulty: the hard-parity settings (docs/PARITY_HARD.md)
+    # keep LeNet clean-test error non-saturated, so the 4-method campaign
+    # figures (error/ECE candlesticks, bit-width lines) carry real spread
+    # instead of every cell pinning at ~0
+    p.add_argument("--mnist_noise_sigma", type=float, default=160.0)
+    p.add_argument("--mnist_max_shift", type=int, default=8)
     args = p.parse_args(argv)
 
     # MNIST tier: 60k/10k (reference: torchvision MNIST split sizes)
-    x_tr, y_tr, x_te, y_te = make_synth_mnist(60000, 10000, args.seed)
+    x_tr, y_tr, x_te, y_te = make_synth_mnist(
+        60000, 10000, args.seed, max_shift=args.mnist_max_shift,
+        noise_sigma=args.mnist_noise_sigma)
     write_mnist_dir(args.out, x_tr, y_tr, x_te, y_te, prefix="MNIST")
     # OOD = FashionMNIST stand-in: disjoint prototypes (proto_seed 9999,
     # same family/seeds as the parity harness, parity/make_data.py)

@@ -18,6 +18,11 @@ DATA=${DATA:-/root/campaign_data}
 OUT=${OUT:-/root/campaign_runs}
 LOG=${LOG:-/root/campaign_logs}
 mkdir -p "$OUT" "$LOG"
+# NOTE: jax's persistent compilation cache cannot help here — the axon
+# PJRT backend reports an unsupported platform (cache stays disabled) and
+# force-enabling it hangs in executable serialization (measured 2026-08-19).
+# Compile amortisation comes from sweep.py running all seeds of a cell in
+# one process instead.
 
 stage() {
   local name=$1; shift
@@ -39,8 +44,19 @@ stage cifar_bbb_quant python experiments/sweep.py quant \
 stage mnist_float python experiments/sweep.py float \
   --methods pointwise mcdropout bbb sgld --tiers mnist --seeds 1 2 3 \
   --out "$OUT" --extra --data "$DATA"
-stage mnist_quant python experiments/sweep.py quant \
-  --methods pointwise mcdropout bbb sgld --tiers mnist --seeds 1 2 3 \
+# per-method stages so a wall-clock cutoff leaves clean, complete methods;
+# sgld last (its per-snapshot QAT makes it the most expensive)
+stage mnist_quant_bbb python experiments/sweep.py quant \
+  --methods bbb --tiers mnist --seeds 1 2 3 \
+  --out "$OUT" --extra --data "$DATA"
+stage mnist_quant_pointwise python experiments/sweep.py quant \
+  --methods pointwise --tiers mnist --seeds 1 2 3 \
+  --out "$OUT" --extra --data "$DATA"
+stage mnist_quant_mcdropout python experiments/sweep.py quant \
+  --methods mcdropout --tiers mnist --seeds 1 2 3 \
+  --out "$OUT" --extra --data "$DATA"
+stage mnist_quant_sgld python experiments/sweep.py quant \
+  --methods sgld --tiers mnist --seeds 1 2 3 \
   --out "$OUT" --extra --data "$DATA"
 stage figures_cifar python tools/make_grid_plots.py "$OUT" \
   --dataset cifar --out "$OUT/figures/cifar"

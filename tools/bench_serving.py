@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Serving-artifact latency/throughput bench (VERDICT r2 #7).
+
+Freezes a TRAINED experiment checkpoint into the AOT artifact
+(qbn_tpu.serving), reloads it from disk the way a serving host would
+(no framework model code on the call path), and measures `call()`:
+
+  * chained-loop throughput: N calls inside one jitted fori_loop with a
+    single device->host fetch (the relay-safe convention from bench.py —
+    per-call host timing through the axon tunnel pays ~100-200 ms RTT
+    and block_until_ready can return early);
+  * per-call latency: median wall time of individual call()s INCLUDING
+    the relay round trip — the number a remote client would see.
+
+Reference gap: the reference has no serving story at all (checkpoints
+reload into the full Python stack, src/utils.py:112-123).
+
+Usage:
+  python tools/bench_serving.py --exp /root/campaign_runs/<qat-exp-dir> \
+      [--batch 256] [--samples 100] [--chunk 20] [--batch1]
+Prints one JSON line per cell.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("serving artifact bench")
+    p.add_argument("--exp", required=True,
+                   help="experiment dir with a converted INT checkpoint "
+                        "(config.json + weights.msgpack)")
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--samples", type=int, default=100)
+    p.add_argument("--chunk", type=int, default=20)
+    p.add_argument("--iters", type=int, default=16)
+    p.add_argument("--artifact", default=None,
+                   help="artifact dir (default: temp dir)")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qbn_tpu.serving.__main__ import main as export_main
+    from qbn_tpu.serving.export import load_predictor
+
+    artifact = args.artifact or tempfile.mkdtemp(prefix="qbn_artifact_")
+    # 1) freeze: the production export path (CLI), batch + batch-1 variants
+    export_main(["--exp", args.exp, "--out", artifact,
+                 "--mode", "int", "--batch", str(args.batch),
+                 "--samples", str(args.samples), "--use_plan",
+                 "--chunk", str(args.chunk)])
+    artifact1 = artifact + "_b1"
+    export_main(["--exp", args.exp, "--out", artifact1,
+                 "--mode", "int", "--batch", "1",
+                 "--samples", str(args.samples), "--use_plan",
+                 "--chunk", str(args.chunk)])
+
+    results = []
+    for name, art in (("batch", artifact), ("batch1", artifact1)):
+        pred = load_predictor(art)
+        b = pred.manifest["batch"]
+        x = np.random.RandomState(0).rand(
+            b, *pred.manifest["input_shape"]).astype(np.float32)
+
+        # chained-loop throughput: the exported program traced inside a
+        # jitted fori_loop, one fetch for all iterations
+        xj = jnp.asarray(x)
+
+        @jax.jit
+        def loop(xv, seed0):
+            def body(i, acc):
+                out = pred.exported.call(xv, seed0 + i)
+                return acc + out
+            return jax.lax.fori_loop(
+                0, args.iters, body,
+                jnp.zeros((b, 10), jnp.float32))
+
+        out = np.asarray(loop(xj, jnp.asarray(0, jnp.int32)))  # warmup
+        assert np.all(np.isfinite(out))
+        dt = float("inf")
+        for rep in (1, 2):
+            t0 = time.perf_counter()
+            np.asarray(loop(xj, jnp.asarray(rep, jnp.int32)))
+            dt = min(dt, time.perf_counter() - t0)
+        ex_sps = b * args.samples * args.iters / dt
+        results.append({
+            "metric": f"serving artifact MC throughput ({name}={b}, "
+                      f"N={args.samples}, INT8)",
+            "value": round(ex_sps, 1),
+            "unit": "example-samples/sec",
+            "per_call_ms_amortized": round(1e3 * dt / args.iters, 3),
+        })
+
+        # per-call latency incl. relay RTT (what a remote client sees)
+        times = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            np.asarray(pred.call(x, 100 + i))
+            times.append(time.perf_counter() - t0)
+        results.append({
+            "metric": f"serving artifact call() latency ({name}={b}, "
+                      f"N={args.samples}, INT8, incl. host round trip)",
+            "value": round(1e3 * float(np.median(times)), 2),
+            "unit": "ms",
+        })
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
