@@ -96,6 +96,10 @@ def main(argv=None):
             run_qat_regression(cfg, args.load)
         else:
             run_qat_classification(cfg, args.load)
+    # end-of-run marker: grid drivers (experiments/sweep.py) use it to skip
+    # completed cells when a multi-hour stage is interrupted and resumed
+    with open(os.path.join(cfg.save, "DONE"), "w") as fh:
+        fh.write("ok\n")
 
 
 if __name__ == "__main__":

@@ -59,9 +59,10 @@ def main(argv=None):
                 for seed in args.seeds:
                     d = os.path.join(args.out,
                                      f"{method}-{tier}-seed{seed}")
-                    run_main(["--method", method, "--tier", tier,
-                              "--phase", "float", "--seed", str(seed),
-                              "--save", d] + args.extra)
+                    if not os.path.exists(os.path.join(d, "DONE")):
+                        run_main(["--method", method, "--tier", tier,
+                                  "--phase", "float", "--seed", str(seed),
+                                  "--save", d] + args.extra)
                     run_dirs.append(d)
                 average_results.main(
                     run_dirs + ["--save",
@@ -85,12 +86,14 @@ def main(argv=None):
                         d = os.path.join(
                             args.out,
                             f"{method}-{tier}-{cell}-seed{seed}")
-                        run_main(["--method", method, "--tier", tier,
-                                  "--phase", "qat", "--load", load,
-                                  "--seed", str(seed),
-                                  "--activation_precision", str(a_bits),
-                                  "--weight_precision", str(w_bits),
-                                  "--save", d] + args.extra)
+                        if not os.path.exists(os.path.join(d, "DONE")):
+                            run_main(["--method", method, "--tier", tier,
+                                      "--phase", "qat", "--load", load,
+                                      "--seed", str(seed),
+                                      "--activation_precision",
+                                      str(a_bits),
+                                      "--weight_precision", str(w_bits),
+                                      "--save", d] + args.extra)
                         run_dirs.append(d)
                     average_results.main(
                         run_dirs + ["--save",
