@@ -26,6 +26,33 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BASELINE_MEASURED.json")
 
 
+def _trained_int8(batch: int, samples: int, exp_dir: str):
+    """Flagship INT8 model from a TRAINED experiment checkpoint (the
+    campaign's converted a7/w8 cell): the benchmark then measures real
+    trained weights instead of the synthetic-weight stand-in."""
+    import jax
+    import jax.numpy as jnp
+
+    from qbn_tpu.config import Config
+    from qbn_tpu.models.factory import build_model
+    from qbn_tpu.training.checkpoint import (checkpoint_path,
+                                             load_variables)
+    from qbn_tpu.utils import init_variables
+
+    with open(os.path.join(exp_dir, "config.json")) as fh:
+        raw = json.load(fh)
+    raw["input_size"] = tuple(raw["input_size"])
+    cfg = Config(**{k: v for k, v in raw.items()
+                    if k in Config.__dataclass_fields__})
+    cfg = cfg.replace(samples=samples, batch_size=batch)
+    model = build_model(cfg)
+    x0 = jnp.zeros((batch,) + tuple(cfg.input_size), jnp.float32)
+    variables = init_variables(model, jax.random.PRNGKey(0), x0,
+                               quantized=True)
+    variables = load_variables(variables, checkpoint_path(exp_dir))
+    return cfg, model, variables, None
+
+
 def measure_tpu() -> float:
     import jax
     import jax.numpy as jnp
@@ -33,12 +60,16 @@ def measure_tpu() -> float:
     from __graft_entry__ import _flagship_int8
     from qbn_tpu.evaluation.mc import mc_predict, presample_plan
 
-    # Non-degenerate weights: scaled means + real posterior stds so the
-    # int8 logits spread across quantisation buckets and XLA cannot fold
-    # the network away (a fresh random init quantises every logit into one
-    # bucket and benchmarks nothing).
-    cfg, model, variables, _ = _flagship_int8(
-        BATCH, SAMPLES, weight_scale=30.0, std_value=-4.0)
+    exp_dir = os.environ.get("QBN_BENCH_EXP", "")
+    if exp_dir:
+        cfg, model, variables, _ = _trained_int8(BATCH, SAMPLES, exp_dir)
+    else:
+        # Non-degenerate weights: scaled means + real posterior stds so
+        # the int8 logits spread across quantisation buckets and XLA
+        # cannot fold the network away (a fresh random init quantises
+        # every logit into one bucket and benchmarks nothing).
+        cfg, model, variables, _ = _flagship_int8(
+            BATCH, SAMPLES, weight_scale=30.0, std_value=-4.0)
     x = jax.random.uniform(jax.random.PRNGKey(3), (BATCH, 32, 32, 3),
                            jnp.float32)
 
@@ -187,6 +218,8 @@ def main():
         "value": round(value, 1),
         "unit": "example-samples/sec",
         "vs_baseline": round(value / baseline, 2),
+        "weights": ("trained:" + os.environ["QBN_BENCH_EXP"]
+                    if os.environ.get("QBN_BENCH_EXP") else "synthetic"),
     }))
 
 

@@ -242,7 +242,10 @@ def make_mc_eval(model, cfg: Config, mode: str, samples: Optional[int] = None,
     samples = cfg.samples if samples is None else samples
     plan_key = None if plan is None else tuple(
         (tuple(p), int(lo), int(hi)) for p, lo, hi in plan)
-    cache_key = (id(model), id(mesh), cfg.task, mode, samples, ensemble,
+    # flax modules hash/compare by hyperparameter value, so same-config
+    # models from DIFFERENT runs (grid seeds, SGHMC snapshots) share the
+    # compiled step — the model object itself is the semantic key
+    cache_key = (model, id(mesh), cfg.task, mode, samples, ensemble,
                  plan_key, _trace_time_flags())
     hit = _STEP_CACHE.get(cache_key)
     if hit is not None:

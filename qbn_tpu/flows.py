@@ -116,8 +116,11 @@ def _fit(cfg: Config, mode: str, split: int = -1,
     mesh = mesh_from_config(cfg)
     if mesh is not None:
         log.info("SPMD training over mesh %s", dict(mesh.shape))
+    # step_memo: cross-run reuse of the jitted/compiled steps — safe here
+    # because tx is always build_optimizer(cfg, len(train_loader)) on this
+    # path, which is exactly the memo's contract
     trainer = Trainer(model, cfg, tx, mode, train_loader, valid_loader,
-                      writer=writer, mesh=mesh)
+                      writer=writer, mesh=mesh, step_memo=True)
     state = trainer.init_state(variables, jax.random.PRNGKey(cfg.seed + 1))
     from qbn_tpu.profiling import trace
     with trace(os.path.join(cfg.save, "profile"), enabled=cfg.profile):

@@ -201,11 +201,44 @@ def _scan_eligible(cfg, mesh, loader, need_full: bool = False) -> bool:
     return True
 
 
+# ---------------------------------------------------------------------
+# Cross-run step memo. A grid sweep (experiments/sweep.py) runs the same
+# (method x tier x cell) for several seeds / SGHMC snapshots in one
+# process; every run builds a fresh model/tx, so the jit caches miss and
+# the identical programs remote-recompile each time (~10 min per CIFAR
+# QAT cell through the relay — measured as the dominant campaign cost).
+# Flax modules hash/compare by hyperparameter VALUE, so (model, semantic
+# cfg, mode, n_batches, n_points) identifies the traced computation; the
+# memo is opt-in (flows._fit) because it additionally requires tx ==
+# build_optimizer(cfg, n_batches) — true on every production path, not
+# necessarily for tests passing custom transforms.
+_STEP_MEMO: dict = {}
+_SCAN_MEMO: dict = {}
+
+
+def _memo_cfg_key(cfg: Config):
+    """Config with pure-bookkeeping fields neutralised: what remains is
+    exactly what can reach the traced step (loss/optimiser/schedule/quant
+    semantics). cfg.seed only reaches the step through the SGHMC noise
+    transform."""
+    import dataclasses
+
+    from qbn_tpu.evaluation.mc import _trace_time_flags
+    neutral = cfg.replace(
+        save="", load=None, data="", profile=False, debug=False,
+        debug_nans=False, report_freq=0,
+        seed=cfg.seed if cfg.optimizer == "sghmc" else 0)
+    # QBN_* env flags are read at trace time inside the layers — fold the
+    # snapshot in so a mid-process toggle retraces (mc.py does the same)
+    return dataclasses.astuple(neutral) + _trace_time_flags()
+
+
 class Trainer:
     """Host-side epoch loop around the jitted steps."""
 
     def __init__(self, model, cfg: Config, tx, mode: str,
-                 train_loader, valid_loader=None, writer=None, mesh=None):
+                 train_loader, valid_loader=None, writer=None, mesh=None,
+                 step_memo: bool = False):
         self.model = model
         self.cfg = cfg
         self.tx = tx
@@ -222,10 +255,24 @@ class Trainer:
         # dataset size (src/trainer.py:140) — NOT the train-subset size
         n_points = getattr(train_loader, "dataset_size",
                            train_loader.num_examples)
-        self._train_step = make_train_step(model, cfg, tx, mode, n_batches,
-                                           n_points)
-        self._eval_step = make_eval_step(
-            model, cfg, mode, update_observers=(mode == "qat"))
+        self._step_memo = step_memo and mesh is None
+        if self._step_memo:
+            ck = _memo_cfg_key(cfg)
+            tkey = ("train", model, ck, mode, n_batches, n_points)
+            if tkey not in _STEP_MEMO:
+                _STEP_MEMO[tkey] = make_train_step(model, cfg, tx, mode,
+                                                   n_batches, n_points)
+            self._train_step = _STEP_MEMO[tkey]
+            ekey = ("eval", model, ck, mode, mode == "qat")
+            if ekey not in _STEP_MEMO:
+                _STEP_MEMO[ekey] = make_eval_step(
+                    model, cfg, mode, update_observers=(mode == "qat"))
+            self._eval_step = _STEP_MEMO[ekey]
+        else:
+            self._train_step = make_train_step(model, cfg, tx, mode,
+                                               n_batches, n_points)
+            self._eval_step = make_eval_step(
+                model, cfg, mode, update_observers=(mode == "qat"))
         self._sharded_train_step = self._sharded_eval_step = None
         if mesh is not None:
             # SPMD data-parallel steps: used for batches divisible by the
@@ -275,6 +322,16 @@ class Trainer:
         norm = getattr(loader, "normalize_kind", None) \
             if loader.normalize is not None else None
         step = self._train_step
+        skey = None
+        if self._step_memo:
+            # memoised steps are process-immortal, so keying the scan on
+            # the step OBJECT is stable; per-shape retraces live inside
+            # the one jitted callable
+            skey = ("train_scan", step, k, bsz, augmented, norm)
+            hit = _SCAN_MEMO.get(skey)
+            if hit is not None:
+                self._train_scan = hit
+                return hit
 
         @jax.jit
         def run(state, metric_state, xd, yd, idx, ays, axs, afl):
@@ -295,6 +352,8 @@ class Trainer:
             return st, ms, jax.tree.map(lambda a: a[-1], logs)
 
         self._train_scan = run
+        if skey is not None:
+            _SCAN_MEMO[skey] = run
         return run
 
     def _get_eval_scan(self, loader, k: int):
@@ -305,6 +364,13 @@ class Trainer:
         norm = getattr(loader, "normalize_kind", None) \
             if loader.normalize is not None else None
         step = self._eval_step
+        skey = None
+        if self._step_memo:
+            skey = ("eval_scan", step, k, bsz, norm)
+            hit = _SCAN_MEMO.get(skey)
+            if hit is not None:
+                self._eval_scans[ck] = (loader, hit)
+                return hit
 
         @jax.jit
         def run(state, metric_state, xd, yd, base_key, key_base_idx):
@@ -325,6 +391,8 @@ class Trainer:
             return st, ms
 
         self._eval_scans[ck] = (loader, run)   # pin loader (id-key reuse)
+        if skey is not None:
+            _SCAN_MEMO[skey] = run
         return run
 
     def init_state(self, variables, rng) -> TrainState:
