@@ -71,10 +71,19 @@ def setup_experiment(cfg: Config, label: str = "") -> Config:
     os.makedirs(save, exist_ok=True)
     cfg = cfg.replace(save=save)
 
+    # one run = one log file: drop the previous run's handler first (grid
+    # drivers call many runs in ONE process; stacked handlers would append
+    # every later run's lines to every earlier run's log.log)
+    root = logging.getLogger()
+    for h in list(root.handlers):
+        if getattr(h, "_qbn_run_log", False):
+            root.removeHandler(h)
+            h.close()
     fh = logging.FileHandler(os.path.join(save, "log.log"))
     fh.setFormatter(logging.Formatter("%(asctime)s %(message)s"))
-    logging.getLogger().addHandler(fh)
-    logging.getLogger().setLevel(logging.INFO)
+    fh._qbn_run_log = True
+    root.addHandler(fh)
+    root.setLevel(logging.INFO)
 
     # provenance: config + git commit (replaces the reference's source
     # snapshotting, utils.py:167-175)
