@@ -114,4 +114,18 @@ python parity/aggregate_seeds.py --out $T/digits_bbb_seeds.md --cells \
   "bbb:int8_a7w8:$(RD bbb qat),$(RDS bbb 2 qat),$(RDS bbb 3 qat):$(OD bbb qat),$(ODS bbb 2 qat),$(ODS bbb 3 qat)" > /dev/null
 fi
 
+# mnist-tier SGHMC + mcdropout multi-seed aggregation (run_seeds1.sh +
+# run_seeds_more.sh; seeds 1-3 on the regenerated 10k/2k dataset) —
+# resolves whether the single-seed sgld OOD-entropy and mcdropout INT8
+# OOD-NLL deltas are seed noise (VERDICT r2 weak #2/#3)
+WS() { ls -dt $W/ref_$1_s$2/$3-* | head -1; }
+OS() { ls -dt $W/ours_$1_s$2/$3-* | head -1; }
+if ls $W/ours_mcd_s1/qat-* >/dev/null 2>&1; then
+python parity/aggregate_seeds.py --out $T/mnist_seeds.md --cells \
+  "sgld:float:$(WS sgld 1 not_q),$(WS sgld 2 not_q),$(WS sgld 3 not_q):$(OS sgld 1 not_q),$(OS sgld 2 not_q),$(OS sgld 3 not_q)" \
+  "sgld:int8_a7w8:$(WS sgld 1 qat),$(WS sgld 2 qat),$(WS sgld 3 qat):$(OS sgld 1 qat),$(OS sgld 2 qat),$(OS sgld 3 qat)" \
+  "mcdropout:float:$(WS mcd 1 not_q),$(WS mcd 2 not_q),$(WS mcd 3 not_q):$(OS mcd 1 not_q),$(OS mcd 2 not_q),$(OS mcd 3 not_q)" \
+  "mcdropout:int8_a7w8:$(WS mcd 1 qat),$(WS mcd 2 qat),$(WS mcd 3 qat):$(OS mcd 1 qat),$(OS mcd 2 qat),$(OS mcd 3 qat)" > /dev/null
+fi
+
 echo "tables rendered under $T/"

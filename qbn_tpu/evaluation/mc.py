@@ -51,7 +51,8 @@ def _trace_time_flags() -> tuple:
     eval in a process takes effect instead of silently hitting the memo."""
     return tuple(os.environ.get(k, d) for k, d in (
         ("QBN_MERGED", "on"), ("QBN_DRAW_FLAT", "on"),
-        ("QBN_DRAW_ONE", "off"), ("QBN_DRAW_FAST", "on")))
+        ("QBN_DRAW_ONE", "off"), ("QBN_DRAW_FAST", "on"),
+        ("QBN_DRAW_ICDF", "off"), ("QBN_DRAW_PAIR", "on")))
 
 
 def mc_predict(model, variables, x, key, *, samples: int, mode: str,
@@ -139,7 +140,7 @@ def draw_sampled_weights(variables, plan, key, samples: int):
     the 'sampled' collection tree ('w' leaf replacing each 'q' entry key).
     """
     from qbn_tpu.ops.pallas.sample_weights import (
-        draw_all_layers, draw_flat, sample_weights_int8,
+        draw_all_layers, draw_flat, flat_rows, sample_weights_int8,
         sample_weights_oracle,
     )
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -190,17 +191,34 @@ def draw_sampled_weights(variables, plan, key, samples: int):
             emit(out, path, codes, shape)
         return out
 
+    # Scoped-VMEM guard: the whole-layer flat kernel blocks (2, rows, 512)
+    # per grid step; past ~1024 rows the Mosaic block working set blows the
+    # 16 MB scoped-VMEM budget when the draw sits inside a loop body
+    # (measured on the v5e: the mnist LeNet fc1, rows=2393 — "Scoped
+    # allocation with size 27.97M ... exceeded scoped vmem limit"; the
+    # flagship's biggest layer, rows=648, is fine). Big-row layers run the
+    # row-blocked whole-model kernel on a one-layer pack instead: 512-row
+    # blocks, same lane-packed layout, per-row qparams.
+    big_rows = 1024
     for i, (path, shape, w2, s2, qp, w_lo, w_hi) in enumerate(entries):
         k_i = jax.random.fold_in(key, i)
-        if on_tpu:
+        m, n = w2.shape
+        big = flat_rows(m, n) > big_rows
+        if on_tpu and not (big and samples % 2 != 0):
             seed = jax.random.randint(k_i, (), 0, 2 ** 31 - 1)
-            if flat:
+            if flat and big:
+                codes = draw_all_layers([(w2, s2, qp, w_lo, w_hi)],
+                                        seed, samples)[0]
+            elif flat:
                 codes = draw_flat(w2, s2, qp, seed, samples, w_lo, w_hi)
+            elif big:
+                # natural whole-layer blocks have the same hazard
+                codes = draw_all_layers([(w2, s2, qp, w_lo, w_hi)],
+                                        seed, samples)[0]
             else:
                 codes = sample_weights_int8(w2, s2, qp, seed, samples,
                                             w_lo, w_hi)
         else:
-            m, n = w2.shape
             noise = jax.random.normal(k_i, (samples, m, n), jnp.float32)
             codes = sample_weights_oracle(w2, s2, qp, noise, w_lo, w_hi)
         emit(out, path, codes, shape)

@@ -123,6 +123,76 @@ def _fast_neg_log(u, bitcast):
     return -(ef * _LN2 + ln_m)
 
 
+# ---------------------------------------------------------------------------
+# Inverse-CDF draw (QBN_DRAW_ICDF): ONE normal per uniform, no sqrt and no
+# sincos — x = t·p(w) with t = 2u−1 and w = −ln(1−t²) (Giles-style erfinv
+# transform; 1−t² computed as (1−t)(1+t), exact near |t|→1 by Sterbenz).
+#
+# Accuracy budget is set by the 3/127 noise grid (§ module docstring): the
+# emitted code changes only when |Δx| crosses a bin edge, and the codes
+# clamp at ±128·3/127 ≈ ±3.02σ, so p(w) only needs the core |x| ≤ 3.05
+# accurate and the w > 5.4 tail ≥ 3.05. A degree-6 fit on w ∈ [0, 16]
+# gives max core |Δx| 4.5e-4 (1/26 bin); the log itself tolerates ~1e-2
+# absolute error (dx/dw ≤ 0.7), so the mantissa uses a plain degree-4
+# ln(1+z) polynomial — no atanh fold, no divide. Validated end-to-end on
+# the f32 pipeline vs scipy.special.ndtri: 0.33% of draws shift by
+# exactly one code (bin-edge draws), quantised-draw std matches to 4
+# decimals (tests/test_fastmath.py::test_fast_ndtri*).
+# ---------------------------------------------------------------------------
+
+# np.polyfit(w, ndtri(u)/t, 6) on w = -log1p(-t^2) ∈ [0, 16]
+_NDTRI_P = (3.8635427531285984e-07, -2.2181696909391053e-05,
+            4.998516805939583e-04, -5.330584717241403e-03,
+            1.871923104980722e-02, 3.274856508869327e-01,
+            1.253253317085791e+00)
+# np.polyfit(z, log1p(z), 4) on z ∈ [0, 1]
+_LN1P_P = (-0.054862281195485675, 0.21640848062706985,
+           -0.4640705966769647, 0.995426624186825,
+           0.00014158395336088888)
+
+
+def _cheap_neg_log(v, bitcast):
+    """-ln(v) for positive normal f32 v to ~9e-4 absolute: exponent via
+    bitcast, mantissa via a plain degree-4 ln(1+z) polynomial (cheaper
+    than _fast_neg_log's atanh form: no fold branch, no divide)."""
+    bits = bitcast(v, jnp.uint32)
+    e = ((bits >> jnp.uint32(23)).astype(jnp.int32) - 127).astype(
+        jnp.float32)
+    m = bitcast((bits & jnp.uint32(0x7FFFFF)) | jnp.uint32(0x3F800000),
+                jnp.float32)                   # [1, 2)
+    z = m - 1.0
+    p = _LN1P_P[0]
+    for k in _LN1P_P[1:]:
+        p = p * z + k
+    return -(e * _LN2 + p)
+
+
+def _fast_ndtri(u, bitcast):
+    """Φ⁻¹(u) for u in (0, 1] to ~5e-4 absolute on |x| ≤ 3.05 (the whole
+    pre-clamp code range); tail (w clamped at 16, incl. u = 1 exactly,
+    where v = 0 bitcasts to e = −127 → w ≈ 88 → 16) stays ≥ 3.05 so the
+    emitted code still clamps to ±128."""
+    t = 2.0 * u - 1.0
+    v = (1.0 - t) * (1.0 + t)
+    w = jnp.minimum(_cheap_neg_log(v, bitcast), 16.0)
+    p = _NDTRI_P[0]
+    for k in _NDTRI_P[1:]:
+        p = p * w + k
+    return t * p
+
+
+def _standard_normal_icdf(shape):
+    f = _uniform12(pltpu.bitcast(pltpu.prng_random_bits(shape),
+                                 jnp.uint32))
+    return _fast_ndtri(2.0 - f, pltpu.bitcast)   # u ∈ (0, 1]
+
+
+def _standard_normal_pair_icdf(shape):
+    """Two independent normal fields from two uniform fields — the ICDF
+    needs no pairing trick, this just matches the pair-kernel layout."""
+    return _standard_normal_icdf(shape), _standard_normal_icdf(shape)
+
+
 def _standard_normal_pair_fast(shape):
     """_standard_normal_pair with the fast-math sincos/log."""
     f1 = _uniform12(pltpu.bitcast(pltpu.prng_random_bits(shape),
@@ -166,20 +236,28 @@ def _body(eps, w, std, q_ref, w_lo, w_hi):
     return _body_from(eps, w_f, std_f, consts, w_lo, w_hi)
 
 
-def _kernel_prng(seed_ref, w_ref, std_ref, q_ref, out_ref, *, w_lo, w_hi):
+def _pair_draw_fn(fast, icdf):
+    if icdf:
+        return _standard_normal_pair_icdf
+    return _standard_normal_pair_fast if fast else _standard_normal_pair
+
+
+def _kernel_prng(seed_ref, w_ref, std_ref, q_ref, out_ref, *, w_lo, w_hi,
+                 icdf=False):
     s = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + s)
-    eps = _standard_normal(w_ref.shape)
+    draw = _standard_normal_icdf if icdf else _standard_normal
+    eps = draw(w_ref.shape)
     out_ref[0] = _body(eps, w_ref[:], std_ref[:], q_ref, w_lo, w_hi)
 
 
 def _kernel_prng_pair(seed_ref, w_ref, std_ref, q_ref, out_ref, *,
-                      w_lo, w_hi, fast=False):
-    """Two samples per grid step from one Box-Muller pair."""
+                      w_lo, w_hi, fast=False, icdf=False):
+    """Two samples per grid step from one Box-Muller pair (or two
+    inverse-CDF fields under QBN_DRAW_ICDF)."""
     s = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + s)
-    draw = _standard_normal_pair_fast if fast else _standard_normal_pair
-    eps_a, eps_b = draw(w_ref.shape)
+    eps_a, eps_b = _pair_draw_fn(fast, icdf)(w_ref.shape)
     w_f, std_f, consts = _body_parts(w_ref[:], std_ref[:], q_ref)
     out_ref[0] = _body_from(eps_a, w_f, std_f, consts, w_lo, w_hi)
     out_ref[1] = _body_from(eps_b, w_f, std_f, consts, w_lo, w_hi)
@@ -249,14 +327,16 @@ def sample_weights_int8(w_codes, std_codes, qparams, seed, samples: int,
     # tests/test_fastmath.py (|d-eps| < 5e-5 vs the library lowerings,
     # far below the 3/127 noise quantisation bin).
     fast = os.environ.get("QBN_DRAW_FAST", "on") != "off"
+    icdf = os.environ.get("QBN_DRAW_ICDF", "off") != "off"
     if pair:
         kernel = functools.partial(_kernel_prng_pair, w_lo=w_lo,
-                                   w_hi=w_hi, fast=fast)
+                                   w_hi=w_hi, fast=fast, icdf=icdf)
         grid = (samples // 2,)
         out_specs = pl.BlockSpec((2, m, n), lambda s, sref: (s, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
-        kernel = functools.partial(_kernel_prng, w_lo=w_lo, w_hi=w_hi)
+        kernel = functools.partial(_kernel_prng, w_lo=w_lo, w_hi=w_hi,
+                                   icdf=icdf)
         grid = (samples,)
         out_specs = pl.BlockSpec((1, m, n), lambda s, sref: (s, 0, 0),
                                  memory_space=pltpu.VMEM)
@@ -352,12 +432,11 @@ def _body_rows(eps, w, std, q):
 
 
 def _kernel_rows_prng(seed_ref, w_ref, std_ref, q_ref, out_ref, *,
-                      n_row_blocks, fast):
+                      n_row_blocks, fast, icdf=False):
     s = pl.program_id(0)
     rb = pl.program_id(1)
     pltpu.prng_seed(seed_ref[0] + s * n_row_blocks + rb)
-    draw = _standard_normal_pair_fast if fast else _standard_normal_pair
-    eps_a, eps_b = draw(w_ref.shape)
+    eps_a, eps_b = _pair_draw_fn(fast, icdf)(w_ref.shape)
     q = q_ref[:, :]
     out_ref[0] = _body_rows(eps_a, w_ref[:], std_ref[:], q)
     out_ref[1] = _body_rows(eps_b, w_ref[:], std_ref[:], q)
@@ -456,8 +535,9 @@ def draw_all_layers(layers, seed, samples: int,
         if samples % 2 != 0:
             raise ValueError("fused whole-model draw needs even samples")
         fast = os.environ.get("QBN_DRAW_FAST", "on") != "off"
+        icdf = os.environ.get("QBN_DRAW_ICDF", "off") != "off"
         kernel = functools.partial(_kernel_rows_prng, n_row_blocks=nrb,
-                                   fast=fast)
+                                   fast=fast, icdf=icdf)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(samples // 2, nrb),

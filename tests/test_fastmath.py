@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qbn_tpu.ops.pallas.sample_weights import (
-    _fast_neg_log, _fast_sincos, NOISE_SCALE,
+    _cheap_neg_log, _fast_ndtri, _fast_neg_log, _fast_sincos, NOISE_SCALE,
 )
 
 
@@ -56,6 +56,54 @@ def test_fast_neg_log_dense_grid():
     # relative error everywhere (tail values only feed the clamp)
     rel = err / np.maximum(want, 1e-12)
     assert rel[want > 1e-3].max() < 2e-5, rel[want > 1e-3].max()
+
+
+def test_cheap_neg_log_dense_grid():
+    """The ICDF path's log: ~1e-3 absolute is plenty (dx/dw ≤ 0.7 through
+    the quantile polynomial, noise bin width 2.36e-2)."""
+    u = np.concatenate([
+        np.linspace(2.0 ** -23, 1.0, 1 << 18).astype(np.float32),
+        np.float32([1.0, 2.0 ** -23, 2.0 ** -21,
+                    np.nextafter(1.0, 0.0, dtype=np.float32)]),
+        np.random.default_rng(3).uniform(0.0, 1.0,
+                                         1 << 16).astype(np.float32)])
+    u = u[u > 0]
+    got = jax.jit(lambda x: _cheap_neg_log(x, _bitcast))(jnp.asarray(u))
+    want = -np.log(u.astype(np.float64))
+    err = np.abs(np.asarray(got, np.float64) - want)
+    assert err.max() < 1.5e-3, err.max()
+
+
+def test_fast_ndtri_dense_grid():
+    """Quantile accuracy on the kernel's exact uniform lattice: core
+    |Δx| far below the 3/127 bin; tail (|x| > 3.05, incl. u = 1 exactly)
+    stays above the ±128-code clamp threshold."""
+    from scipy.special import ndtri
+    k = np.arange(1 << 19, dtype=np.int64) * ((1 << 23) // (1 << 19))
+    u = (1.0 - k * 2.0 ** -23).astype(np.float32)  # u = 2 - f1 lattice
+    u = np.concatenate([
+        u, np.random.default_rng(4).uniform(2.0 ** -23, 1.0,
+                                            1 << 16).astype(np.float32)])
+    got = np.asarray(jax.jit(lambda x: _fast_ndtri(x, _bitcast))(
+        jnp.asarray(u)), np.float64)
+    # exact reference; the u = 1 lattice point has no finite quantile —
+    # the kernel clamps w at 16, so require the clamp-tail contract there
+    want = ndtri(np.minimum(u.astype(np.float64), 1.0 - 2.0 ** -53))
+    core = np.abs(want) <= 3.05
+    derr = np.abs(got - want)[core].max()
+    assert derr < 1e-3, derr                  # bin width is 2.36e-2
+    assert (np.abs(got)[~core] >= 3.05).all()
+    # emitted quantised codes match the exact quantile's codes except
+    # within float-noise of a bin edge
+    code_f = np.clip(np.round(got / NOISE_SCALE), -128, 127)
+    code_e = np.clip(np.round(want / NOISE_SCALE), -128, 127)
+    frac = (code_f != code_e).mean()
+    assert frac < 6e-3, frac
+    assert np.abs(code_f - code_e).max() <= 1
+    # sanity on the quantised-draw distribution over the exact lattice
+    d = code_f * NOISE_SCALE
+    assert abs(d.mean()) < 5e-3, d.mean()
+    assert abs(d.std() - 1.0) < 5e-3, d.std()
 
 
 def test_fast_pair_vs_library_codes():

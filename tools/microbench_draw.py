@@ -50,9 +50,13 @@ def main():
     # time inside draw_sampled_weights, so one process A/Bs all three
     variants = [("per-layer", {}),
                 ("flat", {"QBN_DRAW_FLAT": "on"}),
-                ("fused-one", {"QBN_DRAW_ONE": "on"})]
+                ("fused-one", {"QBN_DRAW_ONE": "on"}),
+                ("flat+icdf", {"QBN_DRAW_FLAT": "on",
+                               "QBN_DRAW_ICDF": "on"}),
+                ("per-layer+icdf", {"QBN_DRAW_FLAT": "off",
+                                    "QBN_DRAW_ICDF": "on"})]
     for vname, env in variants:
-        for k in ("QBN_DRAW_ONE", "QBN_DRAW_FLAT"):
+        for k in ("QBN_DRAW_ONE", "QBN_DRAW_FLAT", "QBN_DRAW_ICDF"):
             os.environ.pop(k, None)
         os.environ.update(env)
         for n in (100, 20):
