@@ -53,14 +53,22 @@ def _trained_int8(batch: int, samples: int, exp_dir: str):
     return cfg, model, variables, None
 
 
-def measure_tpu() -> float:
+def measure_tpu():
     import jax
     import jax.numpy as jnp
     import numpy as np
     from __graft_entry__ import _flagship_int8
     from qbn_tpu.evaluation.mc import mc_predict, presample_plan
 
-    exp_dir = os.environ.get("QBN_BENCH_EXP", "")
+    # default to the committed TRAINED campaign checkpoint (the converted
+    # INT8 a7/w8 flagship cell); QBN_BENCH_EXP overrides, QBN_BENCH_EXP=""
+    # (explicitly empty) forces the synthetic-weight stand-in
+    default_exp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "examples", "campaign",
+                               "bbb-cifar-a_7_w_8-seed1")
+    if not os.path.exists(os.path.join(default_exp, "weights.msgpack")):
+        default_exp = ""
+    exp_dir = os.environ.get("QBN_BENCH_EXP", default_exp)
     if exp_dir:
         cfg, model, variables, _ = _trained_int8(BATCH, SAMPLES, exp_dir)
     else:
@@ -122,7 +130,8 @@ def measure_tpu() -> float:
         out = np.asarray(loop(variables, x, jax.random.fold_in(key, rep)))
         dt = min(dt, time.perf_counter() - t0)
         assert np.all(np.isfinite(out))
-    return BATCH * SAMPLES * iters / dt
+    weights = "trained:" + exp_dir if exp_dir else "synthetic"
+    return BATCH * SAMPLES * iters / dt, weights
 
 
 def measure_torch_baseline() -> float:
@@ -211,15 +220,14 @@ def main():
                 "batch": BATCH,
             }, fh, indent=2)
 
-    value = measure_tpu()
+    value, weights = measure_tpu()
     print(json.dumps({
         "metric": "MC-samples/sec (INT8 BBB ResNet-18 CIFAR-10, N=100, "
                   "batch 256)",
         "value": round(value, 1),
         "unit": "example-samples/sec",
         "vs_baseline": round(value / baseline, 2),
-        "weights": ("trained:" + os.environ["QBN_BENCH_EXP"]
-                    if os.environ.get("QBN_BENCH_EXP") else "synthetic"),
+        "weights": weights,
     }))
 
 
