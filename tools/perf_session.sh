@@ -14,10 +14,13 @@ OUT=${OUT:-/tmp/perf_r3}
 mkdir -p "$OUT"
 
 python tools/microbench_draw.py > "$OUT/draw.log" 2>&1
+python tools/check_draw_stats.py > "$OUT/draw_stats.log" 2>&1
 for CH in 10 20 25 50; do
   QBN_BENCH_CHUNK=$CH python bench.py > "$OUT/bench_chunk$CH.log" 2>&1
 done
+QBN_DRAW_ICDF=on python bench.py > "$OUT/bench_icdf.log" 2>&1
 QBN_BENCH_EXP="$EXP" python bench.py > "$OUT/bench_trained.log" 2>&1
+QBN_BENCH_EXP= python bench.py > "$OUT/bench_synth.log" 2>&1
 python tools/bench_serving.py --exp "$EXP" > "$OUT/serving.log" 2>&1
 python tools/bench_suite.py > "$OUT/suite.log" 2>&1
 python tools/microbench_stages.py > "$OUT/stages.log" 2>&1
