@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shutil
 import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
@@ -28,6 +29,16 @@ from experiments.run import main as run_main  # noqa: E402
 
 WEIGHT_SWEEP = [8, 7, 6, 5, 4, 3]          # at a=7
 ACTIVATION_SWEEP = [6, 5, 4, 3]            # at w=8
+
+
+def _fresh_dir(d: str) -> None:
+    """Clear a half-written cell dir before rerunning it: setup_experiment
+    nests a timestamped subdir when --save already EXISTS, so resuming an
+    interrupted cell over its leftovers would strand the rerun's artifacts
+    one level down and leave the stale top-level results.json to poison
+    the aggregate (observed in the round-3 campaign resume)."""
+    if os.path.isdir(d) and not os.path.exists(os.path.join(d, "DONE")):
+        shutil.rmtree(d)
 
 
 def main(argv=None):
@@ -60,6 +71,7 @@ def main(argv=None):
                     d = os.path.join(args.out,
                                      f"{method}-{tier}-seed{seed}")
                     if not os.path.exists(os.path.join(d, "DONE")):
+                        _fresh_dir(d)
                         run_main(["--method", method, "--tier", tier,
                                   "--phase", "float", "--seed", str(seed),
                                   "--save", d] + args.extra)
@@ -87,6 +99,7 @@ def main(argv=None):
                             args.out,
                             f"{method}-{tier}-{cell}-seed{seed}")
                         if not os.path.exists(os.path.join(d, "DONE")):
+                            _fresh_dir(d)
                             run_main(["--method", method, "--tier", tier,
                                       "--phase", "qat", "--load", load,
                                       "--seed", str(seed),
