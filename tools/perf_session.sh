@@ -15,7 +15,7 @@ mkdir -p "$OUT"
 
 python tools/microbench_draw.py > "$OUT/draw.log" 2>&1
 python tools/check_draw_stats.py > "$OUT/draw_stats.log" 2>&1
-for CH in 10 20 25 50; do
+for CH in 10 20 25 50 100; do
   QBN_BENCH_CHUNK=$CH python bench.py > "$OUT/bench_chunk$CH.log" 2>&1
 done
 QBN_DRAW_ICDF=on python bench.py > "$OUT/bench_icdf.log" 2>&1
