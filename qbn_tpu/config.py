@@ -44,6 +44,15 @@ class Config:
     base_c: float = 0.05
     alpha0: float = 10.0
     beta0: float = 10.0
+    # Snapshot divergence guard (framework EXTRA, no reference analogue —
+    # default 0.0 keeps reference-faithful behaviour): when > 0, a
+    # posterior snapshot is SKIPPED while the epoch's validation key
+    # metric exceeds best-so-far + sghmc_guard, so a chain that hops to
+    # a bad mode late (observed twice in the round-3 campaign/parity
+    # runs: train error 0.002 -> 0.9 at epoch 90/100) cannot fill the
+    # ensemble with diverged members. The guard never adds snapshots; a
+    # chain diverged for the whole window yields a smaller ensemble.
+    sghmc_guard: float = 0.0
 
     # Data
     data: str = "./data"

@@ -545,10 +545,24 @@ class Trainer:
                         and epoch >= cfg.epochs - cfg.samples * 2):
                     # posterior snapshot (reference: trainer.py:75-79) —
                     # stamped files always hit disk (each is a distinct
-                    # posterior member)
-                    info = f"{special_info}_{epoch}"
-                    save_variables(self.variables(state),
-                                   checkpoint_path(cfg.save, info))
+                    # posterior member). With sghmc_guard > 0 (framework
+                    # extra, default off) a snapshot is skipped while the
+                    # chain sits in a diverged mode (val key metric above
+                    # best-so-far + guard), so late mode-hops cannot fill
+                    # the ensemble with garbage members.
+                    diverged = (cfg.sghmc_guard > 0.0
+                                and self.valid_loader is not None
+                                and val_error > best_error
+                                + cfg.sghmc_guard)
+                    if diverged:
+                        log.info(
+                            "epoch %d: SKIPPING sghmc snapshot "
+                            "(val %.4f > best %.4f + guard %.4f)",
+                            epoch, val_error, best_error, cfg.sghmc_guard)
+                    else:
+                        info = f"{special_info}_{epoch}"
+                        save_variables(self.variables(state),
+                                       checkpoint_path(cfg.save, info))
                 elif cfg.save_last:
                     # save-last overwrites one file per epoch; through the
                     # relay each save is a full variable-tree fetch (RTT +

@@ -219,6 +219,50 @@ def test_train_loop_checkpoints_and_snapshots(tmp_path):
     assert set(restored.keys()) == set(trainer.variables(state).keys())
 
 
+def test_sghmc_guard_skips_diverged_snapshots(tmp_path, monkeypatch):
+    """sghmc_guard > 0 (framework extra, default off) skips posterior
+    snapshots while the validation key metric sits above best-so-far +
+    guard — a chain that hops to a bad mode late cannot fill the
+    ensemble with diverged members (observed in the round-3 campaign:
+    train error 0.002 -> 0.9 at epoch 90/100). guard == 0 preserves the
+    reference snapshot rule exactly."""
+    from qbn_tpu.training.trainer import Trainer as T
+
+    def run(guard, vals, tmpdir):
+        os.makedirs(tmpdir, exist_ok=True)
+        cfg = Config(task="regression", model="linear_sgld",
+                     dataset="regression_synthetic", learning_rate=1e-2,
+                     epochs=6, batch_size=128, gamma=0.0,
+                     optimizer="sghmc", loss_scaling="whole",
+                     valid_portion=0.2, burnin_epochs=2, samples=2,
+                     save=str(tmpdir), lr_schedule="constant",
+                     resample_momentum_iterations=50,
+                     resample_prior_iterations=50, sghmc_guard=guard)
+        model = build_model(cfg)
+        train_loader, valid_loader = get_train_loaders(cfg)
+        tx, _ = build_optimizer(cfg, len(train_loader))
+        trainer = Trainer(model, cfg, tx, mode="float",
+                          train_loader=train_loader,
+                          valid_loader=valid_loader)
+        monkeypatch.setattr(
+            T, "eval_epoch",
+            lambda self, state, loader, seed=0:
+                (state, {"rmse": vals[self.epoch], "nll": 0.0}))
+        x0, _ = next(iter(train_loader))
+        variables = init_variables(model, KEY, jnp.asarray(x0))
+        state = trainer.init_state(variables, KEY)
+        trainer.train_loop(state)
+        return list_snapshots(str(tmpdir))
+
+    # epochs 2 and 4 are snapshot epochs; validation diverges at epoch 3+
+    vals = [0.10, 0.10, 0.10, 5.0, 5.0, 5.0]
+    guarded = run(0.5, vals, tmp_path / "guarded")
+    assert len(guarded) == 1 and "_2" in os.path.basename(guarded[0])
+    # guard off -> reference behaviour: both snapshot epochs hit disk
+    unguarded = run(0.0, vals, tmp_path / "unguarded")
+    assert len(unguarded) == 2
+
+
 def test_deferred_save_last_matches_per_epoch(tmp_path, monkeypatch):
     """save_last checkpointing is deferred (periodic flush + final save);
     the final file must be byte-identical to the per-epoch reference
