@@ -11,4 +11,26 @@ python tools/microbench_draw_small.py > "$LOG/draw_small.log" 2>&1
 QBN_DRAW_FLAT=off python bench.py > "$LOG/bench_natural.log" 2>&1
 QBN_DRAW_FLAT=off python bench.py >> "$LOG/bench_natural.log" 2>&1
 python bench.py > "$LOG/bench_flat.log" 2>&1
+
+# CIFAR tier extension to the other 3 methods (the reference's cifar
+# campaign spans all four: presentation/plot_locally.sh cifar_float +
+# cifar_a_7_w_8 candlesticks). Float 300-epoch x 3 seeds each, then the
+# INT8 a7w8 cell; sgld last (most expensive), everything resumable via
+# the sweep's DONE markers.
+OUT=${OUT:-/root/campaign_runs}
+DATA=${DATA:-/root/campaign_data}
+python experiments/sweep.py float --methods pointwise mcdropout --tiers cifar \
+  --seeds 1 2 3 --out "$OUT" --extra --data "$DATA" \
+  > "$LOG/cifar_float_pw_mcd.log" 2>&1
+python experiments/sweep.py quant --methods pointwise mcdropout --tiers cifar \
+  --seeds 1 2 3 --cells a_7_w_8 --out "$OUT" --extra --data "$DATA" \
+  > "$LOG/cifar_quant_pw_mcd.log" 2>&1
+python experiments/sweep.py float --methods sgld --tiers cifar \
+  --seeds 1 2 3 --out "$OUT" --extra --data "$DATA" \
+  > "$LOG/cifar_float_sgld.log" 2>&1
+python experiments/sweep.py quant --methods sgld --tiers cifar \
+  --seeds 1 2 3 --cells a_7_w_8 --out "$OUT" --extra --data "$DATA" \
+  > "$LOG/cifar_quant_sgld.log" 2>&1
+python tools/make_grid_plots.py "$OUT" --dataset cifar \
+  --out "$OUT/figures/cifar" > "$LOG/figures_cifar3.log" 2>&1
 echo "payload done $(date)"
