@@ -76,9 +76,13 @@ def main(argv=None):
             plot_bitwidth_lines(float_res, quant_res, metric, "test", f,
                                 cells=cell_names)
             wrote.append(f)
-            # candlesticks at the INT8 cell too (the paper's main grid)
-            int8 = {m: cells[cell_names[0]] for m, cells in
-                    quant_res.items() if cell_names[0] in cells}
+            # candlesticks at the INT8 cell too (the paper's main grid:
+            # a_7_w_8, reference plot_locally.sh cifar_a_7_w_8) — NOT
+            # cell_names[0], which sorts to a_3_w_8
+            int8_cell = ("a_7_w_8" if any("a_7_w_8" in c for c in
+                                          cell_names) else cell_names[0])
+            int8 = {m: cells[int8_cell] for m, cells in
+                    quant_res.items() if int8_cell in cells}
             if int8:
                 f = os.path.join(args.out,
                                  f"candlestick_{metric}_int8.png")
