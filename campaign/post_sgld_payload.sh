@@ -19,15 +19,28 @@ python bench.py > "$LOG/bench_flat.log" 2>&1
 # the sweep's DONE markers.
 OUT=${OUT:-/root/campaign_runs}
 DATA=${DATA:-/root/campaign_data}
+# wall-clock cutoffs: the round-end driver needs the TPU free for its
+# own bench run — do not START a stage past its cutoff (all stages are
+# resumable next round via the sweep's DONE markers)
+# TPU must be free by ~04:30 (round end ~04:38); a stage only STARTS if
+# its expected duration fits before then
+CUTOFF_MAIN=${CUTOFF_MAIN:-$(date -d "tomorrow 04:30" +%s)}
+# if the payload somehow runs AFTER 04:30 next day, 'tomorrow 04:30' is
+# in the future by construction of the chain (payload starts tonight)
+fits() { [ "$(( $(date +%s) + $1 ))" -lt "$CUTOFF_MAIN" ]; }
+fits 6000 && \
 python experiments/sweep.py float --methods pointwise mcdropout --tiers cifar \
   --seeds 1 2 3 --out "$OUT" --extra --data "$DATA" \
   > "$LOG/cifar_float_pw_mcd.log" 2>&1
+fits 6600 && \
 python experiments/sweep.py quant --methods pointwise mcdropout --tiers cifar \
   --seeds 1 2 3 --cells a_7_w_8 --out "$OUT" --extra --data "$DATA" \
   > "$LOG/cifar_quant_pw_mcd.log" 2>&1
+fits 5400 && \
 python experiments/sweep.py float --methods sgld --tiers cifar \
   --seeds 1 2 3 --out "$OUT" --extra --data "$DATA" \
   > "$LOG/cifar_float_sgld.log" 2>&1
+fits 12600 && \
 python experiments/sweep.py quant --methods sgld --tiers cifar \
   --seeds 1 2 3 --cells a_7_w_8 --out "$OUT" --extra --data "$DATA" \
   > "$LOG/cifar_quant_sgld.log" 2>&1
