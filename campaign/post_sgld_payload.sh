@@ -46,4 +46,11 @@ python experiments/sweep.py quant --methods sgld --tiers cifar \
   > "$LOG/cifar_quant_sgld.log" 2>&1
 python tools/make_grid_plots.py "$OUT" --dataset cifar \
   --out "$OUT/figures/cifar" > "$LOG/figures_cifar3.log" 2>&1
+
+# trailing (guarded) perf refreshes: the perf session's bench_suite leg
+# crashed on a TPU worker restart; one more flat + icdf headline sample
+# balances the draw-default A/B. All cheap, all skippable at cutoff.
+fits 1500 && python tools/bench_suite.py > "$LOG/suite2.log" 2>&1
+fits 1200 && python bench.py > "$LOG/bench_flat2.log" 2>&1
+fits 1200 && QBN_DRAW_ICDF=on python bench.py > "$LOG/bench_icdf2.log" 2>&1
 echo "payload done $(date)"
