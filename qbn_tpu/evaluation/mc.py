@@ -50,7 +50,7 @@ def _trace_time_flags() -> tuple:
     Folded into the _STEP_CACHE key so toggling a flag after the first
     eval in a process takes effect instead of silently hitting the memo."""
     return tuple(os.environ.get(k, d) for k, d in (
-        ("QBN_MERGED", "on"), ("QBN_DRAW_FLAT", "on"),
+        ("QBN_MERGED", "on"), ("QBN_DRAW_FLAT", "off"),
         ("QBN_DRAW_ONE", "off"), ("QBN_DRAW_FAST", "on"),
         ("QBN_DRAW_ICDF", "off"), ("QBN_DRAW_PAIR", "on")))
 
@@ -147,16 +147,20 @@ def draw_sampled_weights(variables, plan, key, samples: int):
     # draw formulations (TPU only; see sample_weights.py). Measured on the
     # real v5e (tools/microbench_draw.py, flagship N=100 bulk draw):
     #   QBN_DRAW_FLAT — per-layer kernels on a lane-packed (rows, 512)
-    #                   layout: 5.98 ms vs 6.72 natural-layout (the
-    #                   width-24/48 stages only fill 19-37% of the lanes
-    #                   in the natural (M, cout) view) — DEFAULT ON.
+    #                   layout. Round-2 measured flat faster (5.98 vs
+    #                   6.72 ms); round-3 REVERSED it twice (natural 5.61
+    #                   < flat 6.06 ms) and the end-to-end trained-
+    #                   checkpoint A/B in ONE session agreed (natural
+    #                   395.5/396.5k vs flat 394.2k ex-samples/s) —
+    #                   DEFAULT OFF (natural). Both paths bitwise-tested;
+    #                   docs/BENCH_TABLE.md carries the history.
     #   QBN_DRAW_ONE  — ONE kernel for every layer (shared row buffer,
     #                   per-row qparams): 7.20 ms — the single serialized
     #                   grid loses more overlap than the ~21 launches
     #                   cost; kept as a measured-negative library.
     fused_all = (on_tpu and samples % 2 == 0
                  and os.environ.get("QBN_DRAW_ONE", "off") != "off")
-    flat = os.environ.get("QBN_DRAW_FLAT", "on") != "off"
+    flat = os.environ.get("QBN_DRAW_FLAT", "off") != "off"
 
     entries = []           # (path, shape, w2, s2, qp, w_lo, w_hi)
     for (path, w_lo, w_hi) in plan:
