@@ -62,3 +62,32 @@ def test_float_grid_seeds_and_average(monkeypatch, tmp_path):
     seeds = [argv[argv.index("--seed") + 1] for argv in calls]
     assert seeds == ["1", "2", "3"]
     assert len(averaged) == 1 and "--save" in averaged[0]
+
+
+def test_reaggregate_rebuilds_from_done_seeds(tmp_path, monkeypatch):
+    """tools/reaggregate.py: -avg rebuilt ONLY from seed dirs with a DONE
+    marker, grouped per cell prefix (cutoff-interrupted cells get a
+    consistent partial aggregate instead of a stale 3-seed one)."""
+    import json
+    from tools import reaggregate
+
+    def cell(name, err, done=True):
+        d = tmp_path / name
+        d.mkdir()
+        json.dump({"error": {"test": err}}, open(d / "results.json", "w"))
+        if done:
+            (d / "DONE").touch()
+
+    cell("bbb-mnist-seed1", 0.1)
+    cell("bbb-mnist-seed2", 0.3)
+    cell("bbb-mnist-seed3", 0.9, done=False)   # interrupted — excluded
+    cell("sgld-mnist-a_7_w_8-seed1", 0.5)
+    reaggregate.main([str(tmp_path)])
+
+    avg = json.load(open(tmp_path / "bbb-mnist-avg" / "results.json"))
+    assert abs(avg["error"]["test"][0] - 0.2) < 1e-12
+    avg2 = json.load(open(
+        tmp_path / "sgld-mnist-a_7_w_8-avg" / "results.json"))
+    assert abs(avg2["error"]["test"][0] - 0.5) < 1e-12
+    # the avg dir itself must not be picked up as a seed group
+    assert not (tmp_path / "bbb-mnist-avg-avg").exists()
