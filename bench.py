@@ -92,7 +92,7 @@ def measure_tpu():
     # path (evaluation.mc auto-selects merged when the plan is present)
     plan = presample_plan(variables)
 
-    def predict(variables, x, key):
+    def predict_bulk(variables, x, key):
         from qbn_tpu.evaluation.mc import draw_sampled_weights
         k_w, key = jax.random.split(key)
         # one bulk posterior draw for ALL samples; the scan consumes it
@@ -112,6 +112,40 @@ def measure_tpu():
         total, _ = jax.lax.scan(body, jnp.zeros((BATCH, 10)),
                                 (sampled, keys))
         return total / SAMPLES
+
+    def predict_overlap(variables, x, key):
+        # QBN_BENCH_OVERLAP=on: software-pipelined draw — inside each scan
+        # step the NEXT chunk's posterior draw is issued alongside the
+        # CURRENT chunk's forward, so the two are data-independent and the
+        # scheduler is free to interleave them (the round-3 roofline's
+        # "draw/compute overlap" lever: the draw is 5.6 of ~66 ms per 100
+        # samples). On a TPU TensorCore fusions execute serially, so this
+        # measures whether XLA can actually hide any of the Pallas draw
+        # behind the convs; the A/B result is recorded in docs/ROOFLINE.md.
+        from qbn_tpu.evaluation.mc import draw_sampled_weights
+        k_w, key = jax.random.split(key)
+        n_chunks = SAMPLES // chunk
+        kws = jax.random.split(k_w, n_chunks)
+        keys = jax.random.split(key, n_chunks)
+        first = draw_sampled_weights(variables, plan, kws[0], chunk)
+
+        def body(carry, inp):
+            acc, cur = carry
+            kw_next, k_eval = inp
+            nxt = draw_sampled_weights(variables, plan, kw_next, chunk)
+            outs = mc_predict(model, variables, x, k_eval, samples=chunk,
+                              mode="int", plan=plan, presampled=cur)
+            return (acc + jnp.sum(outs, axis=0), nxt), 0.0
+
+        (acc, last), _ = jax.lax.scan(
+            body, (jnp.zeros((BATCH, 10)), first), (kws[1:], keys[:-1]))
+        outs = mc_predict(model, variables, x, keys[-1], samples=chunk,
+                          mode="int", plan=plan, presampled=last)
+        return (acc + jnp.sum(outs, axis=0)) / SAMPLES
+
+    predict = (predict_overlap
+               if os.environ.get("QBN_BENCH_OVERLAP", "off") != "off"
+               else predict_bulk)
 
     @jax.jit
     def loop(variables, x, key):

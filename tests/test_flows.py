@@ -22,6 +22,7 @@ def _micro(cfg, tmp_path, name, **kw):
     return cfg.replace(save=str(tmp_path / name), **base)
 
 
+@pytest.mark.smoke
 def test_preset_table_complete():
     for method in ("pointwise", "mcdropout", "bbb", "sgld"):
         for tier in ("regression", "mnist", "cifar"):
@@ -63,6 +64,7 @@ def test_float_then_qat_classification(tmp_path):
     assert np.isfinite(res["nll"]["random"])
 
 
+@pytest.mark.smoke
 def test_float_then_qat_regression(tmp_path):
     ds = [("synthetic", 1)]
     cfg = _micro(preset("pointwise", "regression"), tmp_path, "float")

@@ -18,6 +18,10 @@ from qbn_tpu.ops.s2d import int_conv_s2d, pack_weights_s2d
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 def _oracle_conv(u, w, w_zp, x_scale, w_scale, bias, out_scale, out_zp,
                  strides, padding, a_lo, a_hi, relu):
     acc = lax.conv_general_dilated(

@@ -19,6 +19,9 @@ except Exception:  # pragma: no cover
     HAVE_TORCH = False
 
 
+
+pytestmark = pytest.mark.smoke
+
 def _rand_probs(rng, b, c):
     logits = rng.randn(b, c).astype(np.float32)
     e = np.exp(logits - logits.max(1, keepdims=True))

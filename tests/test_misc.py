@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -17,6 +18,9 @@ from qbn_tpu.evaluation.presentation import (
 )
 from qbn_tpu.utils import init_variables
 
+
+
+pytestmark = pytest.mark.smoke
 
 def test_model_factory_facade():
     cfg = Config()

@@ -23,6 +23,9 @@ except Exception:  # pragma: no cover
     HAVE_TORCH = False
 
 
+
+pytestmark = pytest.mark.smoke
+
 def test_bound_tables():
     assert UINT_BOUNDS[7] == (0, 127)
     assert UINT_BOUNDS[3] == (0, 7)

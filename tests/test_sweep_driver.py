@@ -11,6 +11,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 from experiments import sweep, average_results  # noqa: E402
 
 
+
+pytestmark = pytest.mark.smoke
+
 def test_quant_grid_cells(monkeypatch, tmp_path):
     calls, averaged = [], []
     monkeypatch.setattr(sweep, "run_main", lambda argv: calls.append(argv))
@@ -91,3 +94,24 @@ def test_reaggregate_rebuilds_from_done_seeds(tmp_path, monkeypatch):
     assert abs(avg2["error"]["test"][0] - 0.5) < 1e-12
     # the avg dir itself must not be picked up as a seed group
     assert not (tmp_path / "bbb-mnist-avg-avg").exists()
+
+
+def test_reaggregate_flags_orphan_avg(tmp_path, capsys):
+    """An -avg dir with NO completed seed dirs is a stale copy (e.g. a
+    committed aggregate seeded into a fresh tree without its seeds):
+    reaggregate warns by default and deletes it under --prune-orphans
+    (ADVICE r3: orphaned aggregates poison figures silently)."""
+    import json
+    from tools import reaggregate
+
+    d = tmp_path / "sgld-mnist-avg"
+    d.mkdir()
+    json.dump({"error": {"test": [0.5]}}, open(d / "results.json", "w"))
+
+    reaggregate.main([str(tmp_path)])
+    assert "WARNING" in capsys.readouterr().out
+    assert d.exists()
+
+    reaggregate.main([str(tmp_path), "--prune-orphans"])
+    assert "PRUNED" in capsys.readouterr().out
+    assert not d.exists()

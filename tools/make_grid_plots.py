@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 from qbn_tpu.evaluation.presentation import (  # noqa: E402
     load_summary, plot_bitwidth_lines, plot_candlestick_grid,
-    plot_distortion_grid,
+    plot_distortion_grid, plot_uci_candlestick_grid,
 )
 
 METHODS = ("pointwise", "mcdropout", "bbb", "sgld")
@@ -64,6 +64,21 @@ def main(argv=None):
         {c for cells in quant_res.values() for c in cells})
 
     wrote = []
+    if args.dataset == "regression":
+        # UCI tier: the reference's regression presentation is the
+        # per-dataset box grid — one box per (method, precision cell)
+        # spanning the UCI datasets' test metric (reference:
+        # experiments/presentation/plot_candlesticks.py:113-175).
+        # Regression results carry rmse under 'error' plus 'nll'; the
+        # distortion/entropy/ece surfaces don't exist for this tier.
+        for metric in ("error", "nll"):
+            f = os.path.join(args.out, f"uci_candlestick_{metric}.png")
+            plot_uci_candlestick_grid(float_res, quant_res, metric, f,
+                                      cells=cell_names or None)
+            wrote.append(f)
+        for f in wrote:
+            print("wrote", f)
+        return
     for metric in args.metrics:
         f = os.path.join(args.out, f"candlestick_{metric}_float.png")
         plot_candlestick_grid(float_res, metric, f)

@@ -28,6 +28,9 @@ _SEED_RE = re.compile(r"^(.*)-seed(\d+)$")
 def main(argv=None):
     p = argparse.ArgumentParser("sweep aggregate rebuilder")
     p.add_argument("out", help="sweep output tree (e.g. /root/campaign_runs)")
+    p.add_argument("--prune-orphans", action="store_true",
+                   help="delete -avg dirs whose prefix has no DONE seed "
+                        "dirs (default: warn only)")
     args = p.parse_args(argv)
 
     groups: dict[str, list[str]] = {}
@@ -43,6 +46,28 @@ def main(argv=None):
         save = os.path.join(args.out, f"{prefix}-avg")
         average_results.main(dirs + ["--save", save])
         print(f"[reaggregate] {prefix}-avg <- {len(dirs)} seeds")
+
+    # Orphaned aggregates: an -avg dir whose prefix has NO completed seed
+    # dirs can only be a stale copy (e.g. a committed aggregate seeded into
+    # a fresh tree while its seed dirs were excluded) — figures consuming
+    # it would report numbers no on-disk seed backs. Warn loudly; delete
+    # with --prune-orphans.
+    for name in sorted(os.listdir(args.out)):
+        if not name.endswith("-avg"):
+            continue
+        prefix = name[: -len("-avg")]
+        if prefix in groups:
+            continue
+        d = os.path.join(args.out, name)
+        if not os.path.isdir(d):
+            continue
+        if args.prune_orphans:
+            import shutil
+            shutil.rmtree(d)
+            print(f"[reaggregate] PRUNED orphan {name} (no DONE seeds)")
+        else:
+            print(f"[reaggregate] WARNING: {name} has no DONE seed dirs "
+                  f"(stale aggregate; --prune-orphans to remove)")
 
 
 if __name__ == "__main__":
