@@ -53,16 +53,14 @@ def _trained_int8(batch: int, samples: int, exp_dir: str):
     return cfg, model, variables, None
 
 
-def measure_tpu():
+def load_flagship(batch: int = BATCH, samples: int = SAMPLES):
+    """Flagship model + weights for benchmarking: the committed TRAINED
+    campaign checkpoint by default (QBN_BENCH_EXP overrides; explicitly
+    empty forces the synthetic-weight stand-in)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
     from __graft_entry__ import _flagship_int8
-    from qbn_tpu.evaluation.mc import mc_predict, presample_plan
 
-    # default to the committed TRAINED campaign checkpoint (the converted
-    # INT8 a7/w8 flagship cell); QBN_BENCH_EXP overrides, QBN_BENCH_EXP=""
-    # (explicitly empty) forces the synthetic-weight stand-in
     default_exp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "examples", "campaign",
                                "bbb-cifar-a_7_w_8-seed1")
@@ -70,27 +68,31 @@ def measure_tpu():
         default_exp = ""
     exp_dir = os.environ.get("QBN_BENCH_EXP", default_exp)
     if exp_dir:
-        cfg, model, variables, _ = _trained_int8(BATCH, SAMPLES, exp_dir)
+        cfg, model, variables, _ = _trained_int8(batch, samples, exp_dir)
     else:
         # Non-degenerate weights: scaled means + real posterior stds so
         # the int8 logits spread across quantisation buckets and XLA
         # cannot fold the network away (a fresh random init quantises
         # every logit into one bucket and benchmarks nothing).
         cfg, model, variables, _ = _flagship_int8(
-            BATCH, SAMPLES, weight_scale=30.0, std_value=-4.0)
-    x = jax.random.uniform(jax.random.PRNGKey(3), (BATCH, 32, 32, 3),
+            batch, samples, weight_scale=30.0, std_value=-4.0)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (batch, 32, 32, 3),
                            jnp.float32)
+    return cfg, model, variables, x, exp_dir
 
-    # chunk the 100-sample axis to bound weight materialisation in HBM
-    chunk = int(os.environ.get("QBN_BENCH_CHUNK", "20"))
-    iters = 16  # chained inside ONE program: the remote-execution relay
-    # makes per-call host timing unreliable (block_until_ready can return
-    # early and per-call D2H fetches pay the full tunnel RTT); amortising
-    # many chained predictions over a single fetch gives the honest number.
 
-    # presampling plan + merged channel layout: the production INT eval
-    # path (evaluation.mc auto-selects merged when the plan is present)
-    plan = presample_plan(variables)
+def make_predict(model, variables, plan, chunk: int, overlap: bool):
+    """Build the N=SAMPLES MC predictor, either as one bulk posterior draw
+    consumed chunk-by-chunk (default) or software-pipelined so each scan
+    step issues the NEXT chunk's draw alongside the CURRENT chunk's
+    forward (the round-3 roofline's draw/compute-overlap lever).
+
+    The two variants trace QBN_* draw flags at trace time, so a fresh jit
+    wrapper per (variant x flag setting) gives a clean same-session A/B
+    (tools/perf_ab_r4.py)."""
+    import jax
+    import jax.numpy as jnp
+    from qbn_tpu.evaluation.mc import mc_predict
 
     def predict_bulk(variables, x, key):
         from qbn_tpu.evaluation.mc import draw_sampled_weights
@@ -114,14 +116,14 @@ def measure_tpu():
         return total / SAMPLES
 
     def predict_overlap(variables, x, key):
-        # QBN_BENCH_OVERLAP=on: software-pipelined draw — inside each scan
-        # step the NEXT chunk's posterior draw is issued alongside the
-        # CURRENT chunk's forward, so the two are data-independent and the
-        # scheduler is free to interleave them (the round-3 roofline's
-        # "draw/compute overlap" lever: the draw is 5.6 of ~66 ms per 100
-        # samples). On a TPU TensorCore fusions execute serially, so this
-        # measures whether XLA can actually hide any of the Pallas draw
-        # behind the convs; the A/B result is recorded in docs/ROOFLINE.md.
+        # Software-pipelined draw — inside each scan step the NEXT chunk's
+        # posterior draw is issued alongside the CURRENT chunk's forward,
+        # so the two are data-independent and the scheduler is free to
+        # interleave them (the round-3 roofline's "draw/compute overlap"
+        # lever: the draw is 5.6 of ~66 ms per 100 samples). On a TPU
+        # TensorCore fusions execute serially, so this measures whether
+        # XLA can actually hide any of the Pallas draw behind the convs;
+        # the A/B result is recorded in docs/ROOFLINE.md.
         from qbn_tpu.evaluation.mc import draw_sampled_weights
         k_w, key = jax.random.split(key)
         n_chunks = SAMPLES // chunk
@@ -143,15 +145,43 @@ def measure_tpu():
                           mode="int", plan=plan, presampled=last)
         return (acc + jnp.sum(outs, axis=0)) / SAMPLES
 
-    predict = (predict_overlap
-               if os.environ.get("QBN_BENCH_OVERLAP", "off") != "off"
-               else predict_bulk)
+    return predict_overlap if overlap else predict_bulk
+
+
+def make_loop(predict, iters: int = 16):
+    """Chain `iters` full MC predictions inside ONE jitted program: the
+    remote-execution relay makes per-call host timing unreliable (early
+    block_until_ready returns, per-call D2H RTT), so many chained
+    predictions amortised over a single fetch give the honest number."""
+    import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def loop(variables, x, key):
         def body(i, acc):
             return acc + predict(variables, x, jax.random.fold_in(key, i))
         return jax.lax.fori_loop(0, iters, body, jnp.zeros((BATCH, 10)))
+
+    return loop
+
+
+def measure_tpu():
+    import jax
+    import numpy as np
+    from qbn_tpu.evaluation.mc import presample_plan
+
+    cfg, model, variables, x, exp_dir = load_flagship()
+
+    # chunk the 100-sample axis to bound weight materialisation in HBM
+    chunk = int(os.environ.get("QBN_BENCH_CHUNK", "20"))
+    iters = 16
+
+    # presampling plan + merged channel layout: the production INT eval
+    # path (evaluation.mc auto-selects merged when the plan is present)
+    plan = presample_plan(variables)
+    overlap = os.environ.get("QBN_BENCH_OVERLAP", "off") != "off"
+    predict = make_predict(model, variables, plan, chunk, overlap)
+    loop = make_loop(predict, iters)
 
     key = jax.random.PRNGKey(7)
     np.asarray(loop(variables, x, key))  # warmup/compile

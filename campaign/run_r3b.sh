@@ -13,8 +13,14 @@
 #   3. cifar tier extension: pointwise/mcdropout float + a7w8 quant x3
 #   4. sgld-cifar float + a7w8 quant x3
 #   5. bench-suite refresh + draw-default A/B samples
+# DEPRECATED: superseded by campaign/run_r4.sh (same stages + perf
+# refreshes, 3-seeds-per-process compile amortisation). Kept runnable for
+# provenance, now with the same ADVICE-r3 safety rails.
 set -x
-cd /root/repo
+cd /root/repo || exit 1
+LOCK=/root/campaign_tpu.lock
+if ! mkdir "$LOCK" 2>/dev/null; then echo "lock held: $LOCK"; exit 1; fi
+trap 'rmdir "$LOCK"' EXIT
 LOG=${LOG:-/root/campaign_logs}; mkdir -p "$LOG"
 OUT=${OUT:-/root/campaign_runs}
 DATA=${DATA:-/root/campaign_data}
@@ -60,7 +66,7 @@ done
 for CELL in a_7_w_8 a_7_w_7 a_7_w_6 a_7_w_5 a_7_w_4 a_7_w_3 \
             a_6_w_8 a_5_w_8 a_4_w_8 a_3_w_8; do
   for S in 1 2 3; do
-    fits 2400 && \
+    [ -f "$OUT/sgld-mnist-seed$S/DONE" ] && fits 2400 && \
     python experiments/sweep.py quant --methods sgld --tiers mnist \
       --seeds "$S" --cells "$CELL" --out "$OUT" --extra --data "$DATA" \
       > "$LOG/mnist_quant_sgld_${CELL}_s$S.log" 2>&1
@@ -70,7 +76,7 @@ python tools/reaggregate.py "$OUT" > "$LOG/reagg_mnist.log" 2>&1
 fits 700 && \
 python tools/make_grid_plots.py "$OUT" --dataset mnist \
   --out "$OUT/figures/mnist" > "$LOG/figures_mnist.log" 2>&1
-touch "$OUT/.stage_mnist_done"
+touch "$OUT/.stage_mnist_attempted"
 
 # ---- stage 3: cifar tier extension, pointwise + mcdropout
 for M in pointwise mcdropout; do
@@ -83,14 +89,14 @@ for M in pointwise mcdropout; do
 done
 for M in pointwise mcdropout; do
   for S in 1 2 3; do
-    fits 2200 && \
+    [ -f "$OUT/$M-cifar-seed$S/DONE" ] && fits 2200 && \
     python experiments/sweep.py quant --methods "$M" --tiers cifar \
       --seeds "$S" --cells a_7_w_8 --out "$OUT" --extra --data "$DATA" \
       > "$LOG/cifar_quant_${M}_s$S.log" 2>&1
   done
 done
 python tools/reaggregate.py "$OUT" > "$LOG/reagg_cifar1.log" 2>&1
-touch "$OUT/.stage_cifar_pwmcd_done"
+touch "$OUT/.stage_cifar_pwmcd_attempted"
 
 # ---- stage 4: sgld-cifar float + a7w8 quant
 for S in 1 2 3; do
@@ -100,7 +106,7 @@ for S in 1 2 3; do
     > "$LOG/cifar_float_sgld_s$S.log" 2>&1
 done
 for S in 1 2 3; do
-  fits 4800 && \
+  [ -f "$OUT/sgld-cifar-seed$S/DONE" ] && fits 4800 && \
   python experiments/sweep.py quant --methods sgld --tiers cifar \
     --seeds "$S" --cells a_7_w_8 --out "$OUT" --extra --data "$DATA" \
     > "$LOG/cifar_quant_sgld_s$S.log" 2>&1
@@ -109,7 +115,7 @@ python tools/reaggregate.py "$OUT" > "$LOG/reagg_cifar2.log" 2>&1
 fits 900 && \
 python tools/make_grid_plots.py "$OUT" --dataset cifar \
   --out "$OUT/figures/cifar" > "$LOG/figures_cifar.log" 2>&1
-touch "$OUT/.stage_cifar_sgld_done"
+touch "$OUT/.stage_cifar_sgld_attempted"
 
 # ---- stage 5: perf refreshes (cheap, all skippable)
 fits 1500 && python tools/bench_suite.py > "$LOG/suite2.log" 2>&1
