@@ -119,6 +119,8 @@ touch "$OUT/.stage_cifar_sgld_attempted"
 
 # ---- stage 5: perf refreshes (cheap, all skippable)
 fits 1800 && python tools/bench_suite.py > "$LOG/suite_r4.log" 2>&1
-fits 900 && python tools/bench_serving.py > "$LOG/serving_r4.log" 2>&1
+fits 1200 && python tools/bench_serving.py \
+  --exp examples/campaign/bbb-cifar-a_7_w_8-seed1 --freeze_draws 7 \
+  > "$LOG/serving_r4.log" 2>&1
 fits 600 && python bench.py > "$LOG/bench_r4.log" 2>&1
 echo "R4_QUEUE_DONE $(date)"

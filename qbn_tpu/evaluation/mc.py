@@ -52,7 +52,7 @@ def _trace_time_flags() -> tuple:
     return tuple(os.environ.get(k, d) for k, d in (
         ("QBN_MERGED", "on"), ("QBN_DRAW_FLAT", "off"),
         ("QBN_DRAW_ONE", "off"), ("QBN_DRAW_FAST", "on"),
-        ("QBN_DRAW_ICDF", "off"), ("QBN_DRAW_PAIR", "on")))
+        ("QBN_DRAW_ICDF", "on"), ("QBN_DRAW_PAIR", "on")))
 
 
 def mc_predict(model, variables, x, key, *, samples: int, mode: str,

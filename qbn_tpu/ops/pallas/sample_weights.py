@@ -327,7 +327,7 @@ def sample_weights_int8(w_codes, std_codes, qparams, seed, samples: int,
     # tests/test_fastmath.py (|d-eps| < 5e-5 vs the library lowerings,
     # far below the 3/127 noise quantisation bin).
     fast = os.environ.get("QBN_DRAW_FAST", "on") != "off"
-    icdf = os.environ.get("QBN_DRAW_ICDF", "off") != "off"
+    icdf = os.environ.get("QBN_DRAW_ICDF", "on") != "off"
     if pair:
         kernel = functools.partial(_kernel_prng_pair, w_lo=w_lo,
                                    w_hi=w_hi, fast=fast, icdf=icdf)
@@ -535,7 +535,7 @@ def draw_all_layers(layers, seed, samples: int,
         if samples % 2 != 0:
             raise ValueError("fused whole-model draw needs even samples")
         fast = os.environ.get("QBN_DRAW_FAST", "on") != "off"
-        icdf = os.environ.get("QBN_DRAW_ICDF", "off") != "off"
+        icdf = os.environ.get("QBN_DRAW_ICDF", "on") != "off"
         kernel = functools.partial(_kernel_rows_prng, n_row_blocks=nrb,
                                    fast=fast, icdf=icdf)
         grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -41,6 +41,12 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=None,
                    help="with --use_plan: consume presampled codes in "
                         "chunks of this size")
+    p.add_argument("--freeze_draws", type=int, default=None,
+                   metavar="SEED",
+                   help="with --use_plan: draw the posterior weight "
+                        "samples ONCE at export (this seed) and bake the "
+                        "int8 codes into the artifact — no per-call draw "
+                        "(fixed-ensemble serving; cuts batch-1 latency)")
     p.add_argument("--cpu", action="store_true",
                    help="run the export on the CPU backend (safe on "
                         "hosts where the default backend is an "
@@ -80,7 +86,8 @@ def main(argv=None):
     blob = export_predictor(
         model, variables, cfg, mode=mode, batch=args.batch,
         input_shape=input_shape, path=args.out, samples=args.samples,
-        use_plan=args.use_plan, chunk=args.chunk, platforms=platforms)
+        use_plan=args.use_plan, chunk=args.chunk,
+        freeze_draws=args.freeze_draws, platforms=platforms)
     with open(os.path.join(args.out, "manifest.json")) as fh:
         print(fh.read())
     print(f"wrote {blob} ({os.path.getsize(blob)/1e6:.2f} MB)")

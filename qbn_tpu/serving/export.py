@@ -28,6 +28,7 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from qbn_tpu.config import Config
 from qbn_tpu.evaluation.mc import aggregate, mc_predict, presample_plan
@@ -39,7 +40,8 @@ _MANIFEST = "manifest.json"
 
 def make_predictor(model, variables, cfg: Config, *, mode: str,
                    samples: Optional[int] = None, ensemble: bool = False,
-                   use_plan: bool = False, chunk: Optional[int] = None):
+                   use_plan: bool = False, chunk: Optional[int] = None,
+                   freeze_draws: Optional[int] = None):
     """Build `fn(x, seed) -> prediction` with `variables` closed over.
 
     The returned function is pure and jittable: classification returns
@@ -56,19 +58,42 @@ def make_predictor(model, variables, cfg: Config, *, mode: str,
       chunk: with use_plan, consume the presampled codes in chunks of
         this size via lax.scan (bounds weight materialisation exactly
         like bench.py); must divide `samples`.
+      freeze_draws: with use_plan, draw the `samples` posterior weight
+        samples ONCE at build time with this PRNG seed and bake the int8
+        codes into the program as constants — the per-call Pallas draw
+        (5.6 ms per 100 flagship samples, the dominant batch-1 cost)
+        disappears and every call scores the same fixed sample bank
+        (a fixed-ensemble approximation of the posterior, the same
+        semantics as serving an SGHMC snapshot ensemble). Activation-side
+        randomness (e.g. MC-Dropout masks) still follows `seed`.
     """
     n = cfg.samples if samples is None else samples
     plan = presample_plan(variables) if (use_plan and mode == "int") \
         else None
     if chunk is not None and plan is not None and n % chunk:
         raise ValueError(f"chunk {chunk} must divide samples {n}")
+    frozen = None
+    if freeze_draws is not None:
+        if plan is None:
+            raise ValueError("freeze_draws requires use_plan + INT mode "
+                             "on a model with stochastic quantised layers")
+        from qbn_tpu.evaluation.mc import draw_sampled_weights
+        # eager draw on the build host (TPU kernel there, XLA oracle on a
+        # CPU build host) — concrete arrays close over fn as constants
+        frozen = jax.tree.map(
+            np.asarray,
+            draw_sampled_weights(variables, plan,
+                                 jax.random.PRNGKey(freeze_draws), n))
 
     def fn(x, seed):
         key = jax.random.PRNGKey(seed)
         if plan is not None and chunk is not None and chunk < n:
-            from qbn_tpu.evaluation.mc import draw_sampled_weights
-            k_w, key = jax.random.split(key)
-            sampled = draw_sampled_weights(variables, plan, k_w, n)
+            if frozen is None:
+                from qbn_tpu.evaluation.mc import draw_sampled_weights
+                k_w, key = jax.random.split(key)
+                sampled = draw_sampled_weights(variables, plan, k_w, n)
+            else:
+                sampled = frozen
             sampled = jax.tree.map(
                 lambda l: l.reshape((n // chunk, chunk) + l.shape[1:]),
                 sampled)
@@ -83,6 +108,9 @@ def make_predictor(model, variables, cfg: Config, *, mode: str,
             _, outs = jax.lax.scan(body, None, (sampled, keys))
             outs = jax.tree.map(
                 lambda o: o.reshape((n,) + o.shape[2:]), outs)
+        elif frozen is not None:
+            outs = mc_predict(model, variables, x, key, samples=n,
+                              mode=mode, plan=plan, presampled=frozen)
         else:
             outs = mc_predict(model, variables, x, key, samples=n,
                               mode=mode, ensemble=ensemble, plan=plan)
@@ -102,6 +130,7 @@ def export_predictor(model, variables, cfg: Config, *, mode: str,
                      samples: Optional[int] = None,
                      ensemble: bool = False, use_plan: bool = False,
                      chunk: Optional[int] = None,
+                     freeze_draws: Optional[int] = None,
                      platforms: Optional[Sequence[str]] = None) -> str:
     """Lower + serialize the predictor for `platforms` and write the
     artifact directory. Returns the blob path.
@@ -110,7 +139,8 @@ def export_predictor(model, variables, cfg: Config, *, mode: str,
     ('tpu',) to emit a TPU artifact from any build host.
     """
     fn = make_predictor(model, variables, cfg, mode=mode, samples=samples,
-                        ensemble=ensemble, use_plan=use_plan, chunk=chunk)
+                        ensemble=ensemble, use_plan=use_plan, chunk=chunk,
+                        freeze_draws=freeze_draws)
     # The Pallas fused-draw kernel lowers to the Mosaic custom call,
     # which is not on jax.export's forward-compatibility allowlist —
     # acknowledge it explicitly (artifact then binds to the emitting
@@ -137,6 +167,7 @@ def export_predictor(model, variables, cfg: Config, *, mode: str,
         "ensemble": bool(ensemble),
         "use_plan": bool(use_plan),
         "chunk": chunk,
+        "freeze_draws": freeze_draws,
         "batch": int(batch),
         "input_shape": list(input_shape),
         "platforms": list(exported.platforms),

@@ -93,6 +93,50 @@ def test_export_regression_mean_var(tmp_path):
     assert np.all(s_var > 0)
 
 
+def test_freeze_draws_fixed_sample_bank(tmp_path):
+    """--freeze_draws bakes the posterior sample bank in as constants:
+    the served outputs match mc_predict on the same eagerly-drawn codes,
+    are seed-independent for BBB (all randomness was in the weights), and
+    round-trip through the artifact bitwise."""
+    from qbn_tpu.evaluation.mc import (aggregate, draw_sampled_weights,
+                                       mc_predict, presample_plan)
+
+    cfg, model, variables, x = _int_model("conv_lenet_bbb",
+                                          (2, 28, 28, 1), samples=4)
+    plan = presample_plan(variables)
+    frozen = draw_sampled_weights(variables, plan, jax.random.PRNGKey(3), 4)
+    outs = mc_predict(model, variables, x, jax.random.PRNGKey(11),
+                      samples=4, mode="int", plan=plan, presampled=frozen)
+    expected = np.asarray(aggregate("classification", outs, 4))
+
+    fn = make_predictor(model, variables, cfg, mode="int", use_plan=True,
+                        freeze_draws=3)
+    got_a = np.asarray(fn(x, jnp.asarray(11, jnp.int32)))
+    got_b = np.asarray(fn(x, jnp.asarray(99, jnp.int32)))
+    np.testing.assert_array_equal(got_a, expected)
+    np.testing.assert_array_equal(got_a, got_b)  # fixed bank: no per-call RNG
+
+    export_predictor(model, variables, cfg, mode="int", batch=2,
+                     input_shape=(28, 28, 1), path=str(tmp_path),
+                     use_plan=True, freeze_draws=3)
+    loaded = load_predictor(str(tmp_path))
+    assert loaded.manifest["freeze_draws"] == 3
+    np.testing.assert_array_equal(np.asarray(loaded.call(x, 11)), expected)
+
+
+def test_freeze_draws_chunked_matches_unchunked(tmp_path):
+    """Chunked consumption of the frozen bank equals the unchunked path."""
+    cfg, model, variables, x = _int_model("conv_lenet_bbb",
+                                          (2, 28, 28, 1), samples=4)
+    whole = make_predictor(model, variables, cfg, mode="int",
+                           use_plan=True, freeze_draws=5)
+    chunked = make_predictor(model, variables, cfg, mode="int",
+                             use_plan=True, chunk=2, freeze_draws=5)
+    a = np.asarray(whole(x, jnp.asarray(1, jnp.int32)))
+    b = np.asarray(chunked(x, jnp.asarray(1, jnp.int32)))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_export_tpu_artifact_from_cpu_host(tmp_path):
     """Cross-platform lowering: a TPU serving artifact — including the
     production fused-draw + merged-channel INT formulation (Pallas

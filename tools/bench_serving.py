@@ -45,6 +45,11 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=16)
     p.add_argument("--artifact", default=None,
                    help="artifact dir (default: temp dir)")
+    p.add_argument("--freeze_draws", type=int, default=None,
+                   metavar="SEED",
+                   help="also bench a batch-1 artifact with the posterior "
+                        "sample bank frozen at export (see qbn_tpu.serving "
+                        "--freeze_draws)")
     args = p.parse_args(argv)
 
     import jax
@@ -65,9 +70,22 @@ def main(argv=None):
                  "--mode", "int", "--batch", "1",
                  "--samples", str(args.samples), "--use_plan",
                  "--chunk", str(args.chunk)])
+    cells = [("batch", artifact), ("batch1", artifact1)]
+    if args.freeze_draws is not None:
+        # frozen-draw batch-1 variant: the posterior sample bank is baked
+        # into the artifact as constants, so the per-call Pallas draw
+        # (the dominant batch-1 cost — 5.6 ms per 100 flagship samples,
+        # batch-independent) vanishes (fixed-ensemble serving semantics)
+        artifact1f = artifact + "_b1_frozen"
+        export_main(["--exp", args.exp, "--out", artifact1f,
+                     "--mode", "int", "--batch", "1",
+                     "--samples", str(args.samples), "--use_plan",
+                     "--chunk", str(args.chunk),
+                     "--freeze_draws", str(args.freeze_draws)])
+        cells.append(("batch1_frozen", artifact1f))
 
     results = []
-    for name, art in (("batch", artifact), ("batch1", artifact1)):
+    for name, art in cells:
         pred = load_predictor(art)
         b = pred.manifest["batch"]
         x = np.random.RandomState(0).rand(

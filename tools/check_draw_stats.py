@@ -55,8 +55,10 @@ def main():
     w = jnp.zeros((M, N), jnp.int8)
     s = jnp.ones((M, N), jnp.int8)
     cs, pexact = exact_pmf()
-    for mode, env in (("bm-lib", {"QBN_DRAW_FAST": "off"}),
-                      ("bm-fast", {}),
+    # QBN_DRAW_ICDF defaults ON since round 4 — pin it per arm
+    for mode, env in (("bm-lib", {"QBN_DRAW_FAST": "off",
+                                  "QBN_DRAW_ICDF": "off"}),
+                      ("bm-fast", {"QBN_DRAW_ICDF": "off"}),
                       ("icdf", {"QBN_DRAW_ICDF": "on"})):
         for k in ("QBN_DRAW_FAST", "QBN_DRAW_ICDF"):
             os.environ.pop(k, None)

@@ -48,9 +48,12 @@ def main():
 
     # variants: (QBN_DRAW_ONE, QBN_DRAW_FLAT) — flags are read at trace
     # time inside draw_sampled_weights, so one process A/Bs all three
-    variants = [("per-layer", {}),
-                ("flat", {"QBN_DRAW_FLAT": "on"}),
-                ("fused-one", {"QBN_DRAW_ONE": "on"}),
+    # QBN_DRAW_ICDF defaults ON since round 4 — every arm pins it
+    # explicitly so the arm labels stay true to what runs
+    variants = [("per-layer", {"QBN_DRAW_ICDF": "off"}),
+                ("flat", {"QBN_DRAW_FLAT": "on", "QBN_DRAW_ICDF": "off"}),
+                ("fused-one", {"QBN_DRAW_ONE": "on",
+                               "QBN_DRAW_ICDF": "off"}),
                 ("flat+icdf", {"QBN_DRAW_FLAT": "on",
                                "QBN_DRAW_ICDF": "on"}),
                 ("per-layer+icdf", {"QBN_DRAW_FLAT": "off",

@@ -59,8 +59,10 @@ def main():
     rtt = min(ts)
     print(f"RTT {rtt*1e3:.1f} ms", flush=True)
 
-    variants = [("flat", {"QBN_DRAW_FLAT": "on"}),
-                ("per-layer", {"QBN_DRAW_FLAT": "off"}),
+    # QBN_DRAW_ICDF defaults ON since round 4 — pin it per arm
+    variants = [("flat", {"QBN_DRAW_FLAT": "on", "QBN_DRAW_ICDF": "off"}),
+                ("per-layer", {"QBN_DRAW_FLAT": "off",
+                               "QBN_DRAW_ICDF": "off"}),
                 ("flat+icdf", {"QBN_DRAW_FLAT": "on",
                                "QBN_DRAW_ICDF": "on"}),
                 ("natural+icdf", {"QBN_DRAW_FLAT": "off",
