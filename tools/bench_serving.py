@@ -72,17 +72,20 @@ def main(argv=None):
                  "--chunk", str(args.chunk)])
     cells = [("batch", artifact), ("batch1", artifact1)]
     if args.freeze_draws is not None:
-        # frozen-draw batch-1 variant: the posterior sample bank is baked
-        # into the artifact as constants, so the per-call Pallas draw
-        # (the dominant batch-1 cost — 5.6 ms per 100 flagship samples,
-        # batch-independent) vanishes (fixed-ensemble serving semantics)
-        artifact1f = artifact + "_b1_frozen"
-        export_main(["--exp", args.exp, "--out", artifact1f,
-                     "--mode", "int", "--batch", "1",
-                     "--samples", str(args.samples), "--use_plan",
-                     "--chunk", str(args.chunk),
-                     "--freeze_draws", str(args.freeze_draws)])
-        cells.append(("batch1_frozen", artifact1f))
+        # frozen-draw variants: the posterior sample bank is baked into
+        # the artifact as constants, so the per-call Pallas draw (5.6 ms
+        # per 100 flagship samples, batch-independent — the dominant
+        # batch-1 cost and ~8% of the batch-256 program) vanishes
+        # (fixed-ensemble serving semantics)
+        for bname, bsz in (("batch_frozen", args.batch),
+                           ("batch1_frozen", 1)):
+            art_f = artifact + f"_{bname}"
+            export_main(["--exp", args.exp, "--out", art_f,
+                         "--mode", "int", "--batch", str(bsz),
+                         "--samples", str(args.samples), "--use_plan",
+                         "--chunk", str(args.chunk),
+                         "--freeze_draws", str(args.freeze_draws)])
+            cells.append((bname, art_f))
 
     results = []
     for name, art in cells:
