@@ -65,11 +65,14 @@ def main(argv=None):
                  "--mode", "int", "--batch", str(args.batch),
                  "--samples", str(args.samples), "--use_plan",
                  "--chunk", str(args.chunk)])
+    # batch-1 artifacts are UNCHUNKED: the merged conv's output width is
+    # samples x cout, so at batch 1 the full 100-sample merge is what
+    # fills the MXU lanes (the chunked batch-256 program chunks to bound
+    # weight-code HBM, a non-issue at batch 1)
     artifact1 = artifact + "_b1"
     export_main(["--exp", args.exp, "--out", artifact1,
                  "--mode", "int", "--batch", "1",
-                 "--samples", str(args.samples), "--use_plan",
-                 "--chunk", str(args.chunk)])
+                 "--samples", str(args.samples), "--use_plan"])
     cells = [("batch", artifact), ("batch1", artifact1)]
     if args.freeze_draws is not None:
         # frozen-draw variants: the posterior sample bank is baked into
@@ -77,14 +80,16 @@ def main(argv=None):
         # per 100 flagship samples, batch-independent — the dominant
         # batch-1 cost and ~8% of the batch-256 program) vanishes
         # (fixed-ensemble serving semantics)
-        for bname, bsz in (("batch_frozen", args.batch),
-                           ("batch1_frozen", 1)):
+        for bname, bsz, ck in (("batch_frozen", args.batch, args.chunk),
+                               ("batch1_frozen", 1, None)):
             art_f = artifact + f"_{bname}"
-            export_main(["--exp", args.exp, "--out", art_f,
-                         "--mode", "int", "--batch", str(bsz),
-                         "--samples", str(args.samples), "--use_plan",
-                         "--chunk", str(args.chunk),
-                         "--freeze_draws", str(args.freeze_draws)])
+            cmd = ["--exp", args.exp, "--out", art_f,
+                   "--mode", "int", "--batch", str(bsz),
+                   "--samples", str(args.samples), "--use_plan",
+                   "--freeze_draws", str(args.freeze_draws)]
+            if ck is not None:
+                cmd += ["--chunk", str(ck)]
+            export_main(cmd)
             cells.append((bname, art_f))
 
     results = []
