@@ -76,6 +76,14 @@ def main(argv=None):
             plot_uci_candlestick_grid(float_res, quant_res, metric, f,
                                       cells=cell_names or None)
             wrote.append(f)
+            if quant_res:
+                # bit-width lines for the regression tier too (VERDICT r3
+                # item 2; the reference sweeps the same quant grid here,
+                # run_all_quant.sh:77)
+                f = os.path.join(args.out, f"bitwidth_{metric}.png")
+                plot_bitwidth_lines(float_res, quant_res, metric, "test",
+                                    f, cells=cell_names)
+                wrote.append(f)
         for f in wrote:
             print("wrote", f)
         return
