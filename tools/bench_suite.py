@@ -47,7 +47,8 @@ def build_int8(model_name: str, dataset: str, batch: int, samples: int,
                gamma: float = 0.01):
     """Init + observer-calibrate + convert an INT8 model (the same recipe
     as __graft_entry__._flagship_int8, generalised over the model zoo)."""
-    shape = (28, 28, 1) if dataset == "mnist" else (32, 32, 3)
+    shape = {"mnist": (28, 28, 1), "cifar": (32, 32, 3),
+             "regression": (13,)}[dataset]
     cfg = Config(model=model_name, dataset=dataset, output_size=10,
                  input_size=shape, sigma_prior=sigma_prior, gamma=gamma,
                  p=p, at=True, q=True, samples=samples, batch_size=batch)
@@ -108,9 +109,29 @@ def timed_loop(fn, args, iters: int, rtt: float, reps: int = 3):
 
 
 def mc_eval_cell(name, model_name, dataset, batch, samples, rtt, iters,
-                 p=0.0, chunk=None):
+                 p=0.0, chunk=None, ensemble=False):
     cfg, model, variables, x = build_int8(model_name, dataset, batch,
                                           samples, p=p)
+    if ensemble:
+        # SGHMC posterior ensemble: `samples` stacked INT8 member trees
+        # evaluated by ONE vmapped forward (evaluation/ensemble.py) — the
+        # reference's round-robin ModuleList path (models_sgld.py:216-288).
+        members = jax.tree.map(
+            lambda l: jnp.stack([l] * samples), variables)
+
+        def fn(members, x, key):
+            outs = mc_predict(model, members, x, key, samples=samples,
+                              mode="int", ensemble=True)
+            return aggregate("classification", outs, samples).sum()
+
+        dt = timed_loop(fn, (members, x), iters, rtt)
+        rec = {
+            "cell": name, "batch": batch, "samples": samples,
+            "ms_per_batch": round(dt * 1e3, 2),
+            "example_samples_per_sec": round(batch * samples / dt, 1),
+        }
+        print(json.dumps(rec), flush=True)
+        return rec
     plan = presample_plan(variables) if samples > 1 else None
 
     if chunk and samples > chunk:
@@ -149,13 +170,16 @@ def mc_eval_cell(name, model_name, dataset, batch, samples, rtt, iters,
                 total, _ = lax.scan(body, jnp.zeros((batch, 10)), keys)
                 return total / samples
     else:
+        task = "regression" if dataset == "regression" else "classification"
+
         def predict(variables, x, key):
             outs = mc_predict(model, variables, x, key, samples=samples,
                               mode="int", plan=plan)
-            return aggregate("classification", outs, samples)
+            return aggregate(task, outs, samples)
 
     def fn(variables, x, key):
-        return predict(variables, x, key).sum()
+        out = predict(variables, x, key)
+        return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(out))
 
     dt = timed_loop(fn, (variables, x), iters, rtt)
     rec = {
@@ -192,9 +216,15 @@ def main():
         ("resnet_pointwise_int8", dict(model_name="conv_resnet",
                                        dataset="cifar", batch=256,
                                        samples=1)),
+        ("resnet_sgld_ensemble7_int8", dict(model_name="conv_resnet",
+                                            dataset="cifar", batch=256,
+                                            samples=7, ensemble=True)),
         ("lenet_bbb_int8_mc", dict(model_name="conv_lenet_bbb",
                                    dataset="mnist", batch=256,
                                    samples=100, chunk=None)),
+        ("mlp_bbb_int8_mc", dict(model_name="linear_bbb",
+                                 dataset="regression", batch=256,
+                                 samples=100, chunk=None)),
         ("serving_latency_resnet_bbb_int8_b1", dict(
             model_name="conv_resnet_bbb", dataset="cifar", batch=1,
             samples=100, chunk=None)),
