@@ -115,6 +115,73 @@ def plot_bitwidth_lines(float_results: Dict[str, dict],
     plt.close(f)
 
 
+def plot_uci_bitwidth_lines(float_results: Dict[str, dict],
+                            quant_results: Dict[str, Dict[str, dict]],
+                            metric: str, path: str,
+                            cells: Optional[Sequence[str]] = None,
+                            which: str = "uci") -> None:
+    """Regression-tier metric vs precision lines.
+
+    Regression results nest per-dataset under the metric
+    (metric -> regression_<ds> -> split), so the classification
+    plot_bitwidth_lines extractor can't read them. The reference's
+    regression line plot takes, per precision point, the MEAN +- STD over
+    the UCI datasets' test metric (isoutlier-filtered, NLL sign-flipped;
+    reference: experiments/presentation/plot_continous.py:68-86), or the
+    synthetic dataset's own [mean, std] for the synthetic variant.
+    """
+    plt = _plt()
+    if cells is None:
+        cells = (["a_7_w_%d" % w for w in (8, 7, 6, 5, 4, 3)]
+                 + ["a_%d_w_8" % a for a in (6, 5, 4, 3)])
+
+    def value(res):
+        tree = res.get(metric, {})
+        if which == "synthetic":
+            v = tree.get("regression_synthetic", {}).get("test")
+            if v is None or isoutlier(_leaf_mean(v)):
+                return np.nan, 0.0
+            m = _leaf_mean(v)
+            return (-m if metric == "nll" else m), _leaf_std(v)
+        vals = []
+        for ds in sorted(k for k in tree
+                         if isinstance(k, str)
+                         and k.startswith("regression_")
+                         and k != "regression_synthetic"):
+            v = tree[ds].get("test")
+            if v is None or isoutlier(_leaf_mean(v)):
+                continue
+            m = _leaf_mean(v)
+            vals.append(-m if metric == "nll" else m)
+        if not vals:
+            return np.nan, 0.0
+        return float(np.mean(vals)), float(np.std(vals))
+
+    ticks = ["Float32"] + [
+        "Q:A{}W{}".format(c.split("_")[1], c.split("_")[3]) for c in cells]
+    f, ax = plt.subplots(1, 1, figsize=(7, 3))
+    for method in quant_results:
+        ys, es = [], []
+        y, e = value(float_results.get(method, {}))
+        ys.append(y)
+        es.append(e)
+        for cell in cells:
+            y, e = value(quant_results[method].get(cell, {}))
+            ys.append(y)
+            es.append(e)
+        ax.errorbar(range(len(ticks)), ys, yerr=es, marker="o",
+                    label=METHOD_LABELS.get(method, method))
+    ax.set_xticks(range(len(ticks)))
+    ax.set_xticklabels(ticks, rotation=45, fontsize=8)
+    ax.set_ylabel(METRIC_LABELS.get("rmse" if metric == "error" else metric,
+                                    metric))
+    ax.set_xlabel("Bit-width & Precision")
+    ax.legend(fontsize="small")
+    f.tight_layout()
+    f.savefig(path)
+    plt.close(f)
+
+
 def isoutlier(val: float) -> bool:
     """Reference outlier filter for presentation plots
     (reference: src/utils.py:100-101)."""

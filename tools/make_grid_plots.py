@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 from qbn_tpu.evaluation.presentation import (  # noqa: E402
     load_summary, plot_bitwidth_lines, plot_candlestick_grid,
-    plot_distortion_grid, plot_uci_candlestick_grid,
+    plot_distortion_grid, plot_uci_bitwidth_lines,
+    plot_uci_candlestick_grid,
 )
 
 METHODS = ("pointwise", "mcdropout", "bbb", "sgld")
@@ -79,11 +80,17 @@ def main(argv=None):
             if quant_res:
                 # bit-width lines for the regression tier too (VERDICT r3
                 # item 2; the reference sweeps the same quant grid here,
-                # run_all_quant.sh:77)
-                f = os.path.join(args.out, f"bitwidth_{metric}.png")
-                plot_bitwidth_lines(float_res, quant_res, metric, "test",
-                                    f, cells=cell_names)
-                wrote.append(f)
+                # run_all_quant.sh:77) — regression results nest
+                # per-dataset under the metric, so the UCI-aware extractor
+                # (mean over datasets / synthetic variant) is required
+                for which in ("uci", "synthetic"):
+                    suffix = "" if which == "uci" else "_synthetic"
+                    f = os.path.join(args.out,
+                                     f"bitwidth_{metric}{suffix}.png")
+                    plot_uci_bitwidth_lines(float_res, quant_res, metric,
+                                            f, cells=cell_names,
+                                            which=which)
+                    wrote.append(f)
         for f in wrote:
             print("wrote", f)
         return
