@@ -126,3 +126,30 @@ def test_candlestick_plots(tmp_path):
     plot_uci_candlestick_grid({"bbb": rres}, {"bbb": {"a_7_w_8": rres}},
                               "nll", p3)
     assert os.path.exists(p3)
+
+
+def test_uci_bitwidth_lines(tmp_path):
+    # regression results nest per-dataset under the metric; the UCI
+    # bit-width extractor takes the mean over the UCI datasets (synthetic
+    # excluded), NLL sign-flipped (reference plot_continous.py:68-86)
+    from qbn_tpu.evaluation.presentation import plot_uci_bitwidth_lines
+    rres = {m: {ds: {"test": [v, 0.01]}
+                for ds, v in (("regression_housing", 0.4),
+                              ("regression_yacht", 0.6),
+                              ("regression_synthetic", 0.2))}
+            for m in ("error", "nll")}
+    for which in ("uci", "synthetic"):
+        p = os.path.join(tmp_path, f"bits_{which}.png")
+        plot_uci_bitwidth_lines({"bbb": rres},
+                                {"bbb": {"a_7_w_8": rres}},
+                                "error", p, cells=["a_7_w_8"],
+                                which=which)
+        assert os.path.exists(p)
+    # an isoutlier leaf (|v| > 90) must be dropped, not averaged in
+    rres_out = {"error": {"regression_housing": {"test": [0.4, 0.0]},
+                          "regression_yacht": {"test": [1e3, 0.0]}}}
+    p = os.path.join(tmp_path, "bits_outlier.png")
+    plot_uci_bitwidth_lines({"bbb": rres_out},
+                            {"bbb": {"a_7_w_8": rres_out}},
+                            "error", p, cells=["a_7_w_8"])
+    assert os.path.exists(p)
