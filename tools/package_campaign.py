@@ -27,6 +27,10 @@ def main(argv=None):
     p = argparse.ArgumentParser("campaign packager")
     p.add_argument("--runs", default="/root/campaign_runs")
     p.add_argument("--out", default="examples/campaign")
+    p.add_argument("--done-only", action="store_true",
+                   help="skip per-seed run dirs without a DONE marker "
+                        "(safe to run while a queue is mid-cell); "
+                        "-avg and figures trees are always copied")
     args = p.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
@@ -36,6 +40,10 @@ def main(argv=None):
             continue
         dst = os.path.join(args.out, name)
         if not os.path.isdir(src):
+            continue
+        if (args.done_only and name != "figures"
+                and not name.endswith("-avg")
+                and not os.path.exists(os.path.join(src, "DONE"))):
             continue
         os.makedirs(dst, exist_ok=True)
         if name == "figures":
