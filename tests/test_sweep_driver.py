@@ -115,3 +115,33 @@ def test_reaggregate_flags_orphan_avg(tmp_path, capsys):
     reaggregate.main([str(tmp_path), "--prune-orphans"])
     assert "PRUNED" in capsys.readouterr().out
     assert not d.exists()
+
+
+def test_package_campaign_done_only(tmp_path):
+    """tools/package_campaign.py --done-only: per-seed run dirs without a
+    DONE marker are skipped (safe to package while a queue is mid-cell);
+    -avg dirs and the figures tree are copied regardless."""
+    from tools import package_campaign
+
+    runs, out = tmp_path / "runs", tmp_path / "out"
+    for name, done in (("bbb-mnist-seed1", True),
+                       ("bbb-mnist-seed2", False),
+                       ("bbb-mnist-avg", False)):
+        d = runs / name
+        d.mkdir(parents=True)
+        (d / "results.json").write_text("{}")
+        if done:
+            (d / "DONE").touch()
+    (runs / "figures").mkdir()
+    (runs / "figures" / "fig.png").write_text("png")
+
+    package_campaign.main(["--runs", str(runs), "--out", str(out),
+                           "--done-only"])
+    assert (out / "bbb-mnist-seed1" / "results.json").exists()
+    assert not (out / "bbb-mnist-seed2").exists()
+    assert (out / "bbb-mnist-avg" / "results.json").exists()
+    assert (out / "figures" / "fig.png").exists()
+
+    # without the flag the in-flight dir is copied too
+    package_campaign.main(["--runs", str(runs), "--out", str(out)])
+    assert (out / "bbb-mnist-seed2" / "results.json").exists()
