@@ -1,8 +1,11 @@
 #!/bin/bash
-# Round-4 second continuation queue: extra CIFAR quant cells beyond the
-# VERDICT-minimum a7w8, enabled by this session's later round end (the
-# 16:00 cutoff was pinned by the previous session; this one moved it to
-# 17:45 UTC).
+# Round-4 second continuation queue: (1) repair the mcdropout-cifar
+# float leg — a TPU worker restart (UNAVAILABLE, the same fault class
+# that killed round-3's bench_suite run) crashed the stage-A sweep mid
+# eval on seed 1, so its quant gate in run_r4b.sh stage B fails closed —
+# then (2) extra CIFAR quant cells beyond the VERDICT-minimum a7w8,
+# enabled by this session's later round end (the 16:00 cutoff was pinned
+# by the previous session; this one moved it to 17:45 UTC).
 #
 # Launch pattern: started alongside run_r4b.sh; sleeps until r4b exits
 # (releases /root/campaign_tpu.lock after its stage-C perf refreshes),
@@ -41,6 +44,25 @@ float_done() {
   [ -f "$OUT/$1-cifar-seed1/DONE" ] && [ -f "$OUT/$1-cifar-seed2/DONE" ] &&
   [ -f "$OUT/$1-cifar-seed3/DONE" ]
 }
+
+# ---- stage 0: repair the crashed mcdropout float leg + its a7w8 quant
+# (sweep resume clears the half-written seed-1 dir and re-runs it)
+if ! float_done mcdropout; then
+  fits 4200 && \
+  python experiments/sweep.py float --methods mcdropout --tiers cifar \
+    --seeds 1 2 3 --out "$OUT" --extra --data "$DATA" \
+    > "$LOG/cifar_float_mcdropout_retry.log" 2>&1
+fi
+float_done mcdropout && [ ! -f "$OUT/mcdropout-cifar-a_7_w_8-seed3/DONE" ] \
+  && fits 2400 && \
+  python experiments/sweep.py quant --methods mcdropout --tiers cifar \
+    --seeds 1 2 3 --cells a_7_w_8 --out "$OUT" --extra --data "$DATA" \
+    > "$LOG/cifar_quant_mcdropout_retry.log" 2>&1
+python tools/reaggregate.py "$OUT" > "$LOG/reagg_cifar_mcdfix.log" 2>&1
+fits 900 && \
+python tools/make_grid_plots.py "$OUT" --dataset cifar \
+  --out "$OUT/figures/cifar" > "$LOG/figures_cifar_mcdfix.log" 2>&1
+touch "$OUT/.stage_cifar_mcdfix_attempted"
 
 for CELL in a_7_w_4 a_7_w_6 a_7_w_3 a_4_w_8 a_7_w_5 a_6_w_8 a_5_w_8 \
             a_3_w_8 a_7_w_7; do
