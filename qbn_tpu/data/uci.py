@@ -12,6 +12,7 @@ fold logic and evaluation code run identically.
 
 from __future__ import annotations
 
+import hashlib
 import logging
 import os
 from typing import Tuple
@@ -82,7 +83,17 @@ _SYNTH_WARNED = set()
 
 def _synthetic_table(name: str):
     n, d = _SPECS[name][2]
-    rng = np.random.RandomState(hash(name) % (2 ** 31))
+    # Seed from a PROCESS-STABLE digest of the dataset name. Python's
+    # str hash() is salted per interpreter (PYTHONHASHSEED unset), so
+    # seeding from it regenerated a DIFFERENT table in every process:
+    # a quant run (its own process) then fine-tuned float checkpoints
+    # against data they were never trained on, collapsing every UCI INT
+    # cell to constant-prediction RMSE (~sqrt(d) target variance) while
+    # float metrics — trained and evaluated within one process — stayed
+    # healthy. Real on-disk tables (parity, production) never hit this
+    # fallback path.
+    digest = hashlib.sha256(name.encode()).digest()
+    rng = np.random.RandomState(int.from_bytes(digest[:4], "little"))
     x = rng.randn(n, d)
     w = rng.randn(d, 1)
     y = x @ w + 0.3 * rng.randn(n, 1)

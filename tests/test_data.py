@@ -117,3 +117,28 @@ def test_synthetic_standin_test_split_is_learnable():
     d = ((x_ood[:, None] - means[None]) ** 2).reshape(len(x_ood), 10, -1)
     acc_ood = (d.sum(-1).argmin(1) == y_ood).mean()
     assert acc_ood < 0.3, acc_ood
+
+
+@pytest.mark.smoke
+def test_uci_synthetic_table_stable_across_processes():
+    """The UCI fallback table must be BYTE-IDENTICAL in every process:
+    it was seeded from salted str hash(), so a quant run (its own
+    process) regenerated different data than the float run that trained
+    the checkpoint it loads — every campaign UCI INT cell collapsed to
+    constant-prediction RMSE while float metrics stayed healthy."""
+    import hashlib
+    import subprocess
+    import sys
+
+    from qbn_tpu.data import uci
+
+    here = hashlib.sha256(
+        uci._synthetic_table("housing").tobytes()).hexdigest()
+    code = ("import hashlib, sys; sys.path.insert(0, %r); "
+            "from qbn_tpu.data import uci; "
+            "print(hashlib.sha256("
+            "uci._synthetic_table('housing').tobytes()).hexdigest())"
+            ) % (str((__import__('pathlib').Path(__file__).parent.parent)),)
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, check=True)
+    assert out.stdout.strip().splitlines()[-1] == here
