@@ -145,3 +145,64 @@ def test_package_campaign_done_only(tmp_path):
     # without the flag the in-flight dir is copied too
     package_campaign.main(["--runs", str(runs), "--out", str(out)])
     assert (out / "bbb-mnist-seed2" / "results.json").exists()
+
+
+def test_package_campaign_keep_ckpts(tmp_path):
+    """--keep-ckpts retains weights*.msgpack for matching run dirs only
+    (float checkpoints a later session needs to extend the quant grid;
+    everything else stays pruned)."""
+    from tools import package_campaign
+
+    runs, out = tmp_path / "runs", tmp_path / "out"
+    for name in ("pointwise-cifar-seed1", "sgld-cifar-seed1",
+                 "bbb-mnist-seed1"):
+        d = runs / name
+        d.mkdir(parents=True)
+        (d / "results.json").write_text("{}")
+        (d / "DONE").touch()
+        (d / "weights.msgpack").write_bytes(b"w")
+    # sgld float runs store epoch-stamped snapshots
+    (runs / "sgld-cifar-seed1" / "weights_250.msgpack").write_bytes(b"s")
+
+    package_campaign.main(["--runs", str(runs), "--out", str(out),
+                           "--keep-ckpts", "pointwise-cifar-seed",
+                           "sgld-cifar-seed"])
+    assert (out / "pointwise-cifar-seed1" / "weights.msgpack").exists()
+    assert (out / "sgld-cifar-seed1" / "weights_250.msgpack").exists()
+    assert not (out / "bbb-mnist-seed1" / "weights.msgpack").exists()
+
+
+def test_package_campaign_gzip_logs(tmp_path):
+    """--gzip-logs N compresses big log/scalar streams in the packaged
+    copy (and removes a stale uncompressed copy from an earlier package
+    pass); tools/scalars_to_tb.py reads the .gz transparently."""
+    import json
+
+    from tools import package_campaign
+    from tools import scalars_to_tb
+
+    runs, out = tmp_path / "runs", tmp_path / "out"
+    d = runs / "bbb-regression-seed1"
+    d.mkdir(parents=True)
+    (d / "DONE").touch()
+    (d / "results.json").write_text("{}")
+    recs = [{"tag": "train/nll", "value": float(i), "step": i,
+             "wall_time": 1e9 + i} for i in range(200)]
+    (d / "scalars.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in recs) + "\n")
+    (d / "log.log").write_text("x" * 2048)
+
+    # first package WITHOUT gzip leaves plain copies...
+    package_campaign.main(["--runs", str(runs), "--out", str(out)])
+    assert (out / "bbb-regression-seed1" / "scalars.jsonl").exists()
+    # ...the gzip re-package replaces them
+    package_campaign.main(["--runs", str(runs), "--out", str(out),
+                           "--gzip-logs", "0.001"])
+    pkg = out / "bbb-regression-seed1"
+    assert (pkg / "scalars.jsonl.gz").exists()
+    assert not (pkg / "scalars.jsonl").exists()
+    assert (pkg / "log.log.gz").exists()
+
+    tb_dir, n = scalars_to_tb.convert(str(pkg / "scalars.jsonl.gz"),
+                                      str(tmp_path / "tb"))
+    assert n == 200

@@ -14,6 +14,7 @@ Usage: python tools/package_campaign.py [--runs /root/campaign_runs]
 from __future__ import annotations
 
 import argparse
+import gzip
 import os
 import shutil
 
@@ -31,6 +32,18 @@ def main(argv=None):
                    help="skip per-seed run dirs without a DONE marker "
                         "(safe to run while a queue is mid-cell); "
                         "-avg and figures trees are always copied")
+    p.add_argument("--gzip-logs", type=float, default=None, metavar="MB",
+                   help="gzip log.log / scalars.jsonl copies larger than "
+                        "this many MB (regression seeds stream ~26 MB of "
+                        "per-fold epoch scalars; tools/scalars_to_tb.py "
+                        "reads .gz transparently)")
+    p.add_argument("--keep-ckpts", nargs="*", default=[],
+                   help="run-dir name prefixes whose weights*.msgpack "
+                        "checkpoints are ALSO copied (e.g. "
+                        "'pointwise-cifar-seed' keeps the float ckpts a "
+                        "future session needs to extend the quant grid "
+                        "without re-running 300-epoch floats — the "
+                        "container scratch dirs do not survive sessions)")
     args = p.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
@@ -51,9 +64,25 @@ def main(argv=None):
             continue
         for f in sorted(os.listdir(src)):
             keep = (f in KEEP or f.endswith(KEEP_EXT)
-                    or (name == FLAGSHIP_CKPT and f == "weights.msgpack"))
-            if keep:
-                shutil.copy2(os.path.join(src, f), os.path.join(dst, f))
+                    or (name == FLAGSHIP_CKPT and f == "weights.msgpack")
+                    or (f.startswith("weights") and f.endswith(".msgpack")
+                        and any(name.startswith(pfx)
+                                for pfx in args.keep_ckpts)))
+            if not keep:
+                continue
+            s = os.path.join(src, f)
+            if (args.gzip_logs is not None
+                    and f in ("log.log", "scalars.jsonl")
+                    and os.path.getsize(s) > args.gzip_logs * 1e6):
+                with open(s, "rb") as fin, \
+                        gzip.open(os.path.join(dst, f + ".gz"),
+                                  "wb") as fout:
+                    shutil.copyfileobj(fin, fout)
+                # drop a stale uncompressed copy from an earlier package run
+                if os.path.exists(os.path.join(dst, f)):
+                    os.remove(os.path.join(dst, f))
+            else:
+                shutil.copy2(s, os.path.join(dst, f))
     print(f"[package] campaign packaged into {args.out}")
 
 

@@ -28,7 +28,11 @@ def convert(jsonl_path: str, out_dir: str | None = None):
         os.path.dirname(os.path.abspath(jsonl_path)), "tb")
     writer = SummaryWriter(log_dir=out_dir)
     n = 0
-    with open(jsonl_path) as fh:
+    # packaged campaign trees gzip their big scalar streams
+    # (tools/package_campaign.py --gzip-logs)
+    opener = (lambda p: __import__("gzip").open(p, "rt")) \
+        if jsonl_path.endswith(".gz") else open
+    with opener(jsonl_path) as fh:
         for line in fh:
             line = line.strip()
             if not line:
