@@ -89,22 +89,40 @@ def measure_rtt():
 
 
 def timed_loop(fn, args, iters: int, rtt: float, reps: int = 3):
-    """Chained fori_loop timing of fn(*args, i_key) -> (B, 10)."""
+    """Chained fori_loop timing of fn(*args, i_key) -> (B, 10).
+
+    The trip count is a TRACED operand (dynamic while-loop bound), so the
+    loop auto-scales for fast programs without recompiling: a cell whose
+    whole loop finishes in ~one relay RTT would otherwise measure noise —
+    the round-4 first pass printed a NEGATIVE per-batch time for the
+    pointwise cell (12 iterations < 26 ms RTT) and a faster-than-physics
+    ensemble cell. Iterations are grown until the best rep costs at least
+    max(40 x RTT, 0.5 s), so the RTT correction is <=2.5% of the total.
+    """
 
     @jax.jit
-    def loop(*a):
+    def loop(n, *a):
         def body(i, acc):
             return acc + fn(*a, jax.random.fold_in(jax.random.PRNGKey(11),
                                                    i))
-        return lax.fori_loop(0, iters, body, jnp.zeros(()))
+        return lax.fori_loop(0, n, body, jnp.zeros(()))
 
-    np.asarray(loop(*args))  # compile + warmup
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = np.asarray(loop(*args))
-        best = min(best, time.perf_counter() - t0)
-        assert np.isfinite(out)
+    np.asarray(loop(jnp.int32(2), *args))  # compile + warmup
+
+    def measure(n):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = np.asarray(loop(jnp.int32(n), *args))
+            best = min(best, time.perf_counter() - t0)
+            assert np.isfinite(out)
+        return best
+
+    floor = max(40 * rtt, 0.5)
+    best = measure(iters)
+    while best < floor and iters < 200_000:
+        iters = int(iters * max(2.0, 1.3 * floor / max(best, 1e-4)))
+        best = measure(iters)
     return (best - rtt) / iters
 
 
