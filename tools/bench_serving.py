@@ -106,7 +106,15 @@ def main(argv=None):
         @jax.jit
         def loop(xv, seed0):
             def body(i, acc):
-                out = pred.exported.call(xv, seed0 + i)
+                # the input must be LOOP-VARIANT: a frozen-bank artifact
+                # (--freeze_draws) ignores its seed operand, and XLA then
+                # hoists the whole loop-invariant call out of the fori_loop
+                # — the round-4 first pass measured 5.2M ex-samples/s
+                # (~13x the conv roofline) this way. A per-iteration input
+                # perturbation keeps the real datapath inside the loop and
+                # costs one elementwise add on x.
+                out = pred.exported.call(
+                    xv + jnp.float32(1e-7) * jnp.float32(i), seed0 + i)
                 return acc + out
             return jax.lax.fori_loop(
                 0, args.iters, body,

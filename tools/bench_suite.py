@@ -103,8 +103,14 @@ def timed_loop(fn, args, iters: int, rtt: float, reps: int = 3):
     @jax.jit
     def loop(n, *a):
         def body(i, acc):
-            return acc + fn(*a, jax.random.fold_in(jax.random.PRNGKey(11),
-                                                   i))
+            # keep the INPUT loop-variant too: deterministic INT cells
+            # (pointwise, sgld ensemble members) never consume the RNG
+            # key, and XLA hoists the then-loop-invariant forward out of
+            # the loop — the round-4 first pass measured the pointwise
+            # cell NEGATIVE and the 7-member ensemble at 0.31 ms this way
+            x = a[-1] + jnp.float32(1e-7) * jnp.float32(i)
+            return acc + fn(*a[:-1], x,
+                            jax.random.fold_in(jax.random.PRNGKey(11), i))
         return lax.fori_loop(0, n, body, jnp.zeros(()))
 
     np.asarray(loop(jnp.int32(2), *args))  # compile + warmup
