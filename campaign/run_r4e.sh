@@ -19,9 +19,12 @@ cutoff() {
 }
 fits() { [ "$(( $(date +%s) + $1 ))" -lt "$(cutoff)" ]; }
 
-fits 1200 && python tools/bench_suite.py > "$LOG/suite_r4e.log" 2>&1
-fits 900 && python tools/bench_serving.py \
+# only the first-pass cells invalidated by hoisting need re-measuring
+# (bbb / mcdropout / lenet / serving-b1 consumed their seed and stand)
+fits 700 && python tools/bench_suite.py \
+  --only pointwise,ensemble7,mlp_bbb > "$LOG/suite_r4e.log" 2>&1
+fits 800 && python tools/bench_serving.py \
   --exp examples/campaign/bbb-cifar-a_7_w_8-seed1 --freeze_draws 7 \
   > "$LOG/serving_freeze_r4e.log" 2>&1
-fits 600 && python bench.py > "$LOG/bench_r4e.log" 2>&1
+fits 500 && python bench.py > "$LOG/bench_r4e.log" 2>&1
 echo "R4E_QUEUE_DONE $(date)"
