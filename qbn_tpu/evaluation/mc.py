@@ -430,6 +430,25 @@ def evaluate_distortion_sweep(model, variables, cfg: Config, mode: str,
                            zlib.crc32(f"{d}{lv}".encode()) & 0x7FFFFFFF)
         for d, lv in cells])
     run = _sweep_scan(step, k, n_rem, norm_kind)
+    seed_op = jnp.asarray(seed * 1000003, jnp.int32)
+    if os.environ.get("QBN_DIST_SPLIT", "off") == "on":
+        # One SMALL program per cell instead of one giant 15-cell scan:
+        # identical math and keys (each cell's metrics depend only on its
+        # own spec/key), but every dispatch is clean-test-eval-sized. The
+        # monolithic program crashed the TPU worker ("UNAVAILABLE ...
+        # kernel fault") twice on the mcdropout-cifar float leg (rounds
+        # 4b and 4d) while the same-shape test/OOD scan evals succeeded;
+        # the singleton-stack shape compiles once and is reused 15x, so
+        # the cost is 14 extra dispatch+fetch round trips (~3 s).
+        vals = []
+        for c, (d, lv) in enumerate(cells):
+            pc = jax.device_get(run(
+                variables, xs, ys, x_rem, y_rem,
+                *(jnp.asarray(np.stack([specs[c][i]])) for i in range(4)),
+                base_keys[c:c + 1], seed_op))
+            vals.append((d, lv, float(pc["error"][0]), float(pc["ece"][0]),
+                         float(pc["entropy"][0]), float(pc["nll"][0])))
+        return vals
     per_cell = jax.device_get(run(
         variables, xs, ys, x_rem, y_rem,
         *(jnp.asarray(np.stack([s[i] for s in specs])) for i in range(4)),

@@ -140,6 +140,33 @@ def test_sweep_matches_loader_path(monkeypatch):
                                                             level, a, b)
 
 
+def test_sweep_split_mode_bitwise(monkeypatch):
+    """QBN_DIST_SPLIT=on (one small program per cell — the fallback for
+    the TPU-worker kernel fault the monolithic 15-cell program triggered
+    on the mcdropout-cifar leg) must reproduce the one-shot sweep
+    BITWISE: each cell's keys/specs/arithmetic are independent."""
+    cfg = Config(model="conv_lenet", dataset="cifar", output_size=10,
+                 input_size=(16, 16, 3), batch_size=16, samples=3, seed=2,
+                 p=0.15)
+    model = build_model(cfg)
+    variables = init_variables(model, KEY, np.zeros((2, 16, 16, 3),
+                                                    np.float32))
+    monkeypatch.setattr(D, "load_images", _fake_images)
+    monkeypatch.setenv("QBN_EVAL_SCAN", "on")
+
+    monkeypatch.delenv("QBN_DIST_SPLIT", raising=False)
+    one = evaluate_distortion_sweep(model, variables, cfg, "float")
+    monkeypatch.setenv("QBN_DIST_SPLIT", "on")
+    split = evaluate_distortion_sweep(model, variables, cfg, "float")
+    assert one is not None and split is not None
+    assert len(one) == len(split) == 3 * LEVELS
+    for a, b in zip(one, split):
+        assert a[:2] == b[:2]
+        np.testing.assert_array_equal(np.asarray(a[2:], np.float64),
+                                      np.asarray(b[2:], np.float64),
+                                      err_msg=str(a[:2]))
+
+
 def test_sweep_preconditions(monkeypatch):
     monkeypatch.setenv("QBN_EVAL_SCAN", "on")
     cfg = Config(model="conv_lenet", dataset="cifar", output_size=10,
