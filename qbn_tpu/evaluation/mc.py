@@ -452,7 +452,7 @@ def evaluate_distortion_sweep(model, variables, cfg: Config, mode: str,
     per_cell = jax.device_get(run(
         variables, xs, ys, x_rem, y_rem,
         *(jnp.asarray(np.stack([s[i] for s in specs])) for i in range(4)),
-        base_keys, jnp.asarray(seed * 1000003, jnp.int32)))
+        base_keys, seed_op))
     return [(d, lv, float(per_cell["error"][c]), float(per_cell["ece"][c]),
              float(per_cell["entropy"][c]), float(per_cell["nll"][c]))
             for c, (d, lv) in enumerate(cells)]

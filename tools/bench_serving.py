@@ -58,6 +58,11 @@ def main(argv=None):
 
     from qbn_tpu.serving.__main__ import main as export_main
     from qbn_tpu.serving.export import load_predictor
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_suite import measure_rtt
+
+    rtt = measure_rtt()
+    print(json.dumps({"rtt_ms": round(rtt * 1e3, 2)}), flush=True)
 
     artifact = args.artifact or tempfile.mkdtemp(prefix="qbn_artifact_")
     # 1) freeze: the production export path (CLI), batch + batch-1 variants
@@ -104,7 +109,7 @@ def main(argv=None):
         xj = jnp.asarray(x)
 
         @jax.jit
-        def loop(xv, seed0):
+        def loop(n, xv, seed0):
             def body(i, acc):
                 # the input must be LOOP-VARIANT: a frozen-bank artifact
                 # (--freeze_draws) ignores its seed operand, and XLA then
@@ -116,24 +121,43 @@ def main(argv=None):
                 out = pred.exported.call(
                     xv + jnp.float32(1e-7) * jnp.float32(i), seed0 + i)
                 return acc + out
+            # traced trip count (lowers to a while loop): iterations can
+            # grow without recompiling, matching bench_suite.timed_loop
             return jax.lax.fori_loop(
-                0, args.iters, body,
-                jnp.zeros((b, 10), jnp.float32))
+                0, n, body, jnp.zeros((b, 10), jnp.float32))
 
-        out = np.asarray(loop(xj, jnp.asarray(0, jnp.int32)))  # warmup
+        out = np.asarray(loop(jnp.int32(2), xj,
+                              jnp.asarray(0, jnp.int32)))  # warmup
         assert np.all(np.isfinite(out))
-        dt = float("inf")
-        for rep in (1, 2):
-            t0 = time.perf_counter()
-            np.asarray(loop(xj, jnp.asarray(rep, jnp.int32)))
-            dt = min(dt, time.perf_counter() - t0)
-        ex_sps = b * args.samples * args.iters / dt
+
+        def measure(n):
+            best = float("inf")
+            for rep in (1, 2):
+                t0 = time.perf_counter()
+                np.asarray(loop(jnp.int32(n), xj,
+                                jnp.asarray(rep, jnp.int32)))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        # grow iterations until the loop wall time dominates the relay
+        # RTT (same floor as bench_suite.timed_loop): a ~130 ms batch-1
+        # frozen-cell loop at fixed iters=16 otherwise carries an
+        # uncorrected 26-200 ms RTT (ADVICE r4)
+        iters = args.iters
+        floor = max(40 * rtt, 0.5)
+        dt = measure(iters)
+        while dt < floor and iters < 200_000:
+            iters = int(iters * max(2.0, 1.3 * floor / max(dt, 1e-4)))
+            dt = measure(iters)
+        dt -= rtt
+        ex_sps = b * args.samples * iters / dt
         results.append({
             "metric": f"serving artifact MC throughput ({name}={b}, "
                       f"N={args.samples}, INT8)",
             "value": round(ex_sps, 1),
             "unit": "example-samples/sec",
-            "per_call_ms_amortized": round(1e3 * dt / args.iters, 3),
+            "per_call_ms_amortized": round(1e3 * dt / iters, 3),
+            "iters": iters,
         })
 
         # per-call latency incl. relay RTT (what a remote client sees)

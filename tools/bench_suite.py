@@ -91,6 +91,11 @@ def measure_rtt():
 def timed_loop(fn, args, iters: int, rtt: float, reps: int = 3):
     """Chained fori_loop timing of fn(*args, i_key) -> (B, 10).
 
+    CONVENTION: ``args[-1]`` MUST be the float input tensor. The loop
+    body perturbs it per iteration (see below) and calls
+    ``fn(*args[:-1], perturbed_input, i_key)`` — a caller whose trailing
+    arg is not the input would get the wrong operand perturbed.
+
     The trip count is a TRACED operand (dynamic while-loop bound), so the
     loop auto-scales for fast programs without recompiling: a cell whose
     whole loop finishes in ~one relay RTT would otherwise measure noise —

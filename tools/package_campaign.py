@@ -83,6 +83,11 @@ def main(argv=None):
                     os.remove(os.path.join(dst, f))
             else:
                 shutil.copy2(s, os.path.join(dst, f))
+                # mirror the gzip branch's stale-copy cleanup: a .gz left
+                # by an earlier --gzip-logs run would shadow this fresh
+                # plain copy for .gz-aware readers (TB export)
+                if os.path.exists(os.path.join(dst, f + ".gz")):
+                    os.remove(os.path.join(dst, f + ".gz"))
     print(f"[package] campaign packaged into {args.out}")
 
 
