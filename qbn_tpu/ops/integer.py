@@ -336,6 +336,29 @@ def _conv_core(strides, padding, a_lo: int, a_hi: int, relu: bool):
             out = _requant_out(acc_f, bias, os_, ozp, relu, a_lo, a_hi)
             return jnp.moveaxis(out, 3, 0), True    # int8 transpose
 
+        if xb and not wb and not any(rest):
+            # per-sample activations, SHARED weights (MC-Dropout:
+            # deterministic weights, per-sample masked activations —
+            # reference src/models/stochastic/mcdropout/dropout.py:24-39
+            # semantics): fold the sample axis into the conv batch and
+            # run ONE plain full-width conv — no feature groups, so no
+            # per-group cout starvation — with the requant epilogue in
+            # the conv's NATIVE 4-D view. The default vmap lowering
+            # below also folds the batch, but rebases the epilogue into
+            # the unfolded 5-D (S, B, ...) view — a bitcast the conv
+            # output fusion refuses to cross (FUSION CONTRACT in
+            # int_conv_merged), and the raw f32 accumulator then
+            # materialises at 4x the int8 bytes. The int8 output unfolds
+            # back to (S, B, ...) behind an optimization_barrier so
+            # XLA's reshape-mover cannot hoist the unfold into the
+            # epilogue.
+            b = x.shape[1]
+            out = _int_conv_impl(x.reshape((s * b,) + x.shape[2:]),
+                                 xs, w8, ws, wzp, bias, os_, ozp,
+                                 strides, padding, a_lo, a_hi, relu)
+            out = lax.optimization_barrier(out)
+            return out.reshape((s, b) + out.shape[1:]), True
+
         return jax.vmap(
             lambda *a: _int_conv_impl(*a, strides, padding,
                                       a_lo, a_hi, relu),

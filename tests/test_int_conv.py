@@ -206,3 +206,28 @@ def test_im2col_shallow_cin_bitwise(monkeypatch):
     monkeypatch.delenv("QBN_IM2COL")
     want = int_conv_merged(u, w_codes=ws, **margs)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_x_batched_shared_weight_conv_matches_per_sample():
+    """Per-sample activations with SHARED weights (the MC-Dropout case):
+    the folded-batch rule (one plain full-width conv, native-view
+    requant) must be bit-identical to the per-sample loop. Covers both
+    the centered-bf16 shallow branch and the winsum deep branch."""
+    rng = np.random.RandomState(11)
+    for cin in (5, 60):  # 3*3*60 = 540 > _BF16_CENTERED_K: deep branch
+        us = jnp.asarray(
+            rng.randint(-100, 101, (6, 2, 8, 8, cin)).astype(np.int8))
+        wc = jnp.asarray(
+            rng.randint(-128, 128, (3, 3, cin, 7)).astype(np.int8))
+        bias = jnp.asarray(rng.randn(7).astype(np.float32) * 0.1)
+
+        for strides, pad in (((1, 1), 1), ((2, 2), 1)):
+            def one(u1):
+                return int_conv(u1, 0.02, 3, wc, 0.005, -9, bias, 0.03,
+                                17, strides, [(pad, pad)] * 2, 0, 127,
+                                relu=True)
+
+            batched = jax.vmap(one)(us)
+            looped = jnp.stack([one(us[i]) for i in range(6)])
+            np.testing.assert_array_equal(np.asarray(batched),
+                                          np.asarray(looped))
