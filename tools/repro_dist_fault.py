@@ -54,6 +54,9 @@ def main(argv=None):
                    help="ragged tail rows (0 = no tail step)")
     p.add_argument("--mode", default="float", choices=("float", "int"))
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--ckpt", default=None,
+                   help="load a trained float checkpoint (weights.msgpack) "
+                        "instead of random init — rules values in/out")
     args = p.parse_args(argv)
 
     import jax
@@ -77,6 +80,9 @@ def main(argv=None):
     x0 = jax.random.uniform(key, (args.batch, 32, 32, 3), jnp.float32)
     variables = init_variables(model, key, x0,
                                quantized=(args.mode == "int"))
+    if args.ckpt:
+        from qbn_tpu.training.checkpoint import load_variables
+        variables = load_variables(variables, args.ckpt)
 
     step = mc.make_mc_eval(model, cfg, args.mode, args.samples, False,
                            plan=None)
