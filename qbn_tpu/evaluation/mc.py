@@ -320,6 +320,26 @@ def _scan_eval(step, k: int):
     return run
 
 
+def _dist_split_enabled(cfg) -> bool:
+    """Distortion-sweep dispatch mode: one-program-per-cell ("split") vs
+    the monolithic 15-cell scan.
+
+    QBN_DIST_SPLIT=on/off forces it. Unset = AUTO, decided from round-4/5
+    evidence: the monolithic program killed the TPU worker twice
+    ("UNAVAILABLE ... kernel fault") on the mcdropout-cifar float leg —
+    per-(sample,channel) masked forwards under the 15-cell outer scan —
+    while the identical program shape ran clean for pointwise/bbb/sgld
+    and the SPLIT path completed that exact leg (round 5, campaign
+    stage A). So: split ON for always-on-dropout models (cfg.p > 0) on
+    TPU, monolithic elsewhere (saves 14 dispatch+fetch relay round
+    trips, ~3 s/eval). See tools/repro_dist_fault.py for the bisect
+    probe; docs/STATUS.md round-5 entry for the evidence trail."""
+    mode = os.environ.get("QBN_DIST_SPLIT", "")
+    if mode in ("on", "off"):
+        return mode == "on"
+    return jax.default_backend() == "tpu" and cfg.p > 0
+
+
 def _sweep_scan(step, k: int, n_rem: int, norm_kind):
     """jitted program for the ENTIRE distortion sweep: an outer lax.scan
     over the stacked cell specs (gather indices, zero mask, brightness
@@ -431,7 +451,7 @@ def evaluate_distortion_sweep(model, variables, cfg: Config, mode: str,
         for d, lv in cells])
     run = _sweep_scan(step, k, n_rem, norm_kind)
     seed_op = jnp.asarray(seed * 1000003, jnp.int32)
-    if os.environ.get("QBN_DIST_SPLIT", "off") == "on":
+    if _dist_split_enabled(cfg):
         # One SMALL program per cell instead of one giant 15-cell scan:
         # identical math and keys (each cell's metrics depend only on its
         # own spec/key), but every dispatch is clean-test-eval-sized. The

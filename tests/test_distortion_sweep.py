@@ -154,7 +154,7 @@ def test_sweep_split_mode_bitwise(monkeypatch):
     monkeypatch.setattr(D, "load_images", _fake_images)
     monkeypatch.setenv("QBN_EVAL_SCAN", "on")
 
-    monkeypatch.delenv("QBN_DIST_SPLIT", raising=False)
+    monkeypatch.setenv("QBN_DIST_SPLIT", "off")
     one = evaluate_distortion_sweep(model, variables, cfg, "float")
     monkeypatch.setenv("QBN_DIST_SPLIT", "on")
     split = evaluate_distortion_sweep(model, variables, cfg, "float")
@@ -176,3 +176,30 @@ def test_sweep_preconditions(monkeypatch):
     monkeypatch.setenv("QBN_EVAL_SCAN", "off")
     cfg = cfg.replace(debug=False)
     assert evaluate_distortion_sweep(None, None, cfg, "float") is None
+
+
+def test_dist_split_auto_default(monkeypatch):
+    """Unset QBN_DIST_SPLIT = AUTO: split only for always-on-dropout
+    models (p > 0) on TPU; monolithic on CPU and for p == 0 (the
+    round-4/5 kernel-fault evidence, see _dist_split_enabled)."""
+    from qbn_tpu.evaluation import mc
+
+    cfg_mc = Config(model="conv_lenet_mc", dataset="cifar", output_size=10,
+                    input_size=(16, 16, 3), batch_size=16, p=0.15)
+    cfg_pw = Config(model="conv_lenet", dataset="cifar", output_size=10,
+                    input_size=(16, 16, 3), batch_size=16, p=0.0)
+
+    monkeypatch.delenv("QBN_DIST_SPLIT", raising=False)
+    # this suite runs on the CPU backend: auto must stay monolithic
+    assert mc._dist_split_enabled(cfg_mc) is False
+    assert mc._dist_split_enabled(cfg_pw) is False
+    # TPU backend: split for dropout models only
+    monkeypatch.setattr(mc.jax, "default_backend", lambda: "tpu")
+    assert mc._dist_split_enabled(cfg_mc) is True
+    assert mc._dist_split_enabled(cfg_pw) is False
+    # explicit forcing beats auto either way
+    monkeypatch.setenv("QBN_DIST_SPLIT", "off")
+    assert mc._dist_split_enabled(cfg_mc) is False
+    monkeypatch.setattr(mc.jax, "default_backend", lambda: "cpu")
+    monkeypatch.setenv("QBN_DIST_SPLIT", "on")
+    assert mc._dist_split_enabled(cfg_pw) is True
