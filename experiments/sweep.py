@@ -21,6 +21,7 @@ import argparse
 import os
 import shutil
 import sys
+import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
@@ -29,6 +30,36 @@ from experiments.run import main as run_main  # noqa: E402
 
 WEIGHT_SWEEP = [8, 7, 6, 5, 4, 3]          # at a=7
 ACTIVATION_SWEEP = [6, 5, 4, 3]            # at w=8
+
+# Transient relay/device failure markers (round-5 incident: a
+# "remote_compile: read body: response body closed before all bytes
+# were read" INTERNAL error killed a quant cell mid-compile while the
+# very next TPU process ran fine; UNAVAILABLE is the TPU-worker-restart
+# signature from rounds 3/4). Anything else re-raises immediately.
+TRANSIENT = ("remote_compile", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+             "response body closed", "Socket closed")
+RETRY_COOLDOWN_S = 120
+
+
+def _run_cell(argv, d: str, attempts: int = 2) -> None:
+    """One grid-cell run with bounded retry on TRANSIENT relay/device
+    failures: clear the half-written dir, cool down (a restarting TPU
+    worker needs time; a still-wedged one just blocks the retry, which
+    is the safe behaviour), run again. Non-transient errors and the
+    final attempt re-raise so a real code fault still stops the grid."""
+    for attempt in range(attempts):
+        try:
+            run_main(argv)
+            return
+        except Exception as e:  # noqa: BLE001 — marker-filtered below
+            msg = repr(e)
+            if (attempt + 1 >= attempts
+                    or not any(t in msg for t in TRANSIENT)):
+                raise
+            print(f"[sweep] transient failure on {d}, retrying after "
+                  f"{RETRY_COOLDOWN_S}s: {msg[:200]}", flush=True)
+            time.sleep(RETRY_COOLDOWN_S)
+            _fresh_dir(d)
 
 
 def _fresh_dir(d: str) -> None:
@@ -72,9 +103,10 @@ def main(argv=None):
                                      f"{method}-{tier}-seed{seed}")
                     if not os.path.exists(os.path.join(d, "DONE")):
                         _fresh_dir(d)
-                        run_main(["--method", method, "--tier", tier,
-                                  "--phase", "float", "--seed", str(seed),
-                                  "--save", d] + args.extra)
+                        _run_cell(["--method", method, "--tier", tier,
+                                   "--phase", "float",
+                                   "--seed", str(seed),
+                                   "--save", d] + args.extra, d)
                     run_dirs.append(d)
                 average_results.main(
                     run_dirs + ["--save",
@@ -100,13 +132,13 @@ def main(argv=None):
                             f"{method}-{tier}-{cell}-seed{seed}")
                         if not os.path.exists(os.path.join(d, "DONE")):
                             _fresh_dir(d)
-                            run_main(["--method", method, "--tier", tier,
-                                      "--phase", "qat", "--load", load,
-                                      "--seed", str(seed),
-                                      "--activation_precision",
-                                      str(a_bits),
-                                      "--weight_precision", str(w_bits),
-                                      "--save", d] + args.extra)
+                            _run_cell(
+                                ["--method", method, "--tier", tier,
+                                 "--phase", "qat", "--load", load,
+                                 "--seed", str(seed),
+                                 "--activation_precision", str(a_bits),
+                                 "--weight_precision", str(w_bits),
+                                 "--save", d] + args.extra, d)
                         run_dirs.append(d)
                     average_results.main(
                         run_dirs + ["--save",

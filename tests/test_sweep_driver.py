@@ -206,3 +206,49 @@ def test_package_campaign_gzip_logs(tmp_path):
     tb_dir, n = scalars_to_tb.convert(str(pkg / "scalars.jsonl.gz"),
                                       str(tmp_path / "tb"))
     assert n == 200
+
+
+def test_transient_failure_retries_once(monkeypatch, tmp_path):
+    """A relay/device transient (round-5: remote_compile body closed)
+    clears the half-written dir and retries; the retry succeeds."""
+    calls = []
+
+    def flaky(argv):
+        calls.append(list(argv))
+        if len(calls) == 1:
+            raise RuntimeError(
+                "INTERNAL: http://127.0.0.1:8103/remote_compile: read "
+                "body: response body closed before all bytes were read")
+
+    monkeypatch.setattr(sweep, "run_main", flaky)
+    monkeypatch.setattr(sweep.time, "sleep", lambda s: None)
+    monkeypatch.setattr(sweep.average_results, "main", lambda argv: None)
+    sweep.main(["float", "--methods", "bbb", "--tiers", "mnist",
+                "--seeds", "1", "--out", str(tmp_path)])
+    assert len(calls) == 2
+
+
+def test_non_transient_failure_raises_immediately(monkeypatch, tmp_path):
+    calls = []
+
+    def broken(argv):
+        calls.append(argv)
+        raise ValueError("bad config")
+
+    monkeypatch.setattr(sweep, "run_main", broken)
+    monkeypatch.setattr(sweep.average_results, "main", lambda argv: None)
+    with pytest.raises(ValueError):
+        sweep.main(["float", "--methods", "bbb", "--tiers", "mnist",
+                    "--seeds", "1", "--out", str(tmp_path)])
+    assert len(calls) == 1
+
+
+def test_transient_failure_reraises_on_final_attempt(monkeypatch,
+                                                     tmp_path):
+    monkeypatch.setattr(sweep, "run_main", lambda argv: (_ for _ in ()
+                        ).throw(RuntimeError("UNAVAILABLE: worker")))
+    monkeypatch.setattr(sweep.time, "sleep", lambda s: None)
+    monkeypatch.setattr(sweep.average_results, "main", lambda argv: None)
+    with pytest.raises(RuntimeError):
+        sweep.main(["float", "--methods", "bbb", "--tiers", "mnist",
+                    "--seeds", "1", "--out", str(tmp_path)])
