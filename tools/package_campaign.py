@@ -74,9 +74,12 @@ def main(argv=None):
             if (args.gzip_logs is not None
                     and f in ("log.log", "scalars.jsonl")
                     and os.path.getsize(s) > args.gzip_logs * 1e6):
+                # mtime=0: deterministic bytes, so re-packaging an
+                # unchanged log is a git no-op instead of header churn
                 with open(s, "rb") as fin, \
-                        gzip.open(os.path.join(dst, f + ".gz"),
-                                  "wb") as fout:
+                        open(os.path.join(dst, f + ".gz"), "wb") as raw, \
+                        gzip.GzipFile(filename="", mode="wb",
+                                      fileobj=raw, mtime=0) as fout:
                     shutil.copyfileobj(fin, fout)
                 # drop a stale uncompressed copy from an earlier package run
                 if os.path.exists(os.path.join(dst, f)):
