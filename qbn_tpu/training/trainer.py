@@ -113,7 +113,17 @@ def make_train_step(model, cfg: Config, tx, mode: str, n_batches: int,
         model_state = dict(state.model_state)
         for col in ("batch_stats", "quant"):
             if col in updates:
-                model_state[col] = updates[col]
+                # the step-skip must cover the MUTABLE STATS too: a
+                # single overflowing batch otherwise poisons the BN
+                # running stats / observer EMAs permanently even though
+                # params were restored — every later forward is then
+                # NaN. Observed on the sgld-cifar a7w4 per-snapshot-QAT
+                # leg (round 5): one member went non-finite at its first
+                # epoch in all 3 seeds and never recovered, collapsing
+                # the INT ensemble to constant predictions + NaN NLL.
+                model_state[col] = jax.tree.map(
+                    lambda new, old: jnp.where(ok, new, old),
+                    updates[col], state.model_state[col])
 
         metric_state = _metrics_update(task, metric_state, out, y)
         logs = {"obj": loss, "main_obj": main, "kl": kl_t}

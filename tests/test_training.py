@@ -310,3 +310,52 @@ def test_checkpoint_partial_restore(tmp_path):
         np.asarray(v_q2["params"]["dense_0"]["kernel"]),
         np.asarray(v_f["params"]["dense_0"]["kernel"]))
     assert "quant" in v_q2 and "qconst" in v_q2
+
+
+def test_nan_step_skip_covers_mutable_stats():
+    """A non-finite batch must not poison BN running stats / observer
+    EMAs: the step-skip restores params AND the mutable collections.
+    (Round-5 finding: one overflowing batch on the sgld-cifar a7w4
+    per-snapshot-QAT leg permanently NaN'd a member's batch_stats even
+    though params were restored, collapsing the INT ensemble.)"""
+    from qbn_tpu.training.trainer import (TrainState, make_train_step,
+                                          _metrics_init)
+
+    cfg = Config(model="conv_resnet", dataset="cifar", output_size=10,
+                 input_size=(32, 32, 3), q=True, at=True, batch_size=8,
+                 optimizer="sgd", lr_schedule="constant",
+                 learning_rate=1e-2)
+    model = build_model(cfg)
+    tx, _ = build_optimizer(cfg, 10)
+    x = jax.random.uniform(KEY, (8, 32, 32, 3))
+    y = jnp.zeros((8,), jnp.int32)
+    variables = init_variables(model, KEY, x, quantized=True)
+    state = TrainState(
+        params=variables["params"],
+        model_state={k: v for k, v in variables.items() if k != "params"},
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(1))
+    step = make_train_step(model, cfg, tx, "qat", 10, 80)
+
+    x_bad = x.at[0, 0, 0, 0].set(jnp.inf)
+    s_bad, _, logs = step(state, _metrics_init("classification"), x_bad, y)
+    assert not np.isfinite(float(logs["obj"]))
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(s_bad.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for col in ("batch_stats", "quant"):
+        for a, b in zip(jax.tree.leaves(state.model_state[col]),
+                        jax.tree.leaves(s_bad.model_state[col])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=col)
+        # (no blanket finiteness check: fresh observers legitimately
+        # hold +/-inf min/max init sentinels)
+
+    # a clean batch after the skipped one trains normally
+    s_ok, _, logs2 = step(s_bad, _metrics_init("classification"), x, y)
+    assert np.isfinite(float(logs2["obj"]))
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(s_bad.params),
+                        jax.tree.leaves(s_ok.params)))
+    assert changed
